@@ -1,0 +1,157 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters knobs across hand-parsed ``--key=value`` argv, module
+globals and C++ flag defaults (`/root/reference/train1.py:246-266`,
+`/root/reference/textline_detect/src/main.cpp:17-30`). Here everything lives
+in frozen dataclasses that serialize to/from plain dicts (JSON) so configs
+can be checkpointed alongside weights.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+from . import const
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """CenterNet-style text detector."""
+    model_size: str = "xl"               # s / m / l / xl
+    feature_dim: int = const.FEATURE_DIM
+    head_conv_dim: int = 192             # Leafmap internal width
+    bn_eps_backbone: float = 1e-3
+    bn_eps_head: float = 1e-5
+    bn_momentum: float = 0.9             # running-stat decay (1 - torch 0.1)
+    image_size: Tuple[int, int] = (const.IMAGE_HEIGHT, const.IMAGE_WIDTH)
+    scale: int = const.SCALE
+    # SimpleDecoder (CRT auxiliary classifier)
+    decoder_mid_dim: int = 2048
+    # training-time top-k feature pixels per sample fed to the aux decoder
+    fmask_topk_per_sample: int = 1024
+
+    @property
+    def map_size(self) -> Tuple[int, int]:
+        return (self.image_size[0] // self.scale, self.image_size[1] // self.scale)
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    """Encoder-decoder text transformer (mask-predict NAR decoding)."""
+    enc_input_dim: int = const.ENCODER_DIM
+    embed_dim: int = 768
+    head_num: int = 12
+    enc_block_num: int = 10
+    dec_block_num: int = 10
+    max_enc_seq_len: int = const.MAX_ENCODER_LEN
+    max_dec_seq_len: int = const.MAX_DECODER_LEN
+    dropout: float = 0.0
+
+
+@dataclass(frozen=True)
+class MaskPredictConfig:
+    """Iterative mask-predict inference loop."""
+    max_rounds: int = 8
+    topk: int = 3                 # per-modulus candidates in CRT combine
+    remask_threshold: float = 0.9
+    early_stop_threshold: float = 0.99
+
+
+@dataclass(frozen=True)
+class LineEngineConfig:
+    """Text-line ordering engine thresholds (native engine flags)."""
+    ruby_cutoff: float = 0.25
+    rubybase_cutoff: float = 0.75
+    space_cutoff: float = 0.5
+    emphasis_cutoff: float = 0.5
+    line_valueth: float = 0.4
+    sep_valueth: float = 0.1
+    sep_valueth2: float = 0.15
+    sep_clusterth: float = 10.0
+    allowwidth_next_block: float = 1.5
+    allow_sizediff: float = 0.5
+    page_divide: float = 0.0
+    scale: int = const.SCALE
+
+
+@dataclass(frozen=True)
+class InferenceConfig:
+    """Sliding-window page OCR."""
+    tile_size: int = const.IMAGE_WIDTH
+    stride_ratio: float = 0.6
+    peak_cutoff: float = 0.4
+    max_peaks_per_tile: int = 1024
+    detector_batch: int = 8       # tiles per detector call (reference: 1)
+    iou_threshold: float = 0.5
+    overlap_threshold: float = 0.75
+    fill_ratio_threshold: float = 0.5
+    resize: float = 1.0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 32
+    learning_rate: float = 2.5e-3
+    weight_decay: float = 0.0
+    epochs: int = 40
+    accum_steps: int = 1
+    warmup_steps: int = 1000
+    bn_recalib_batches: int = 50
+    checkpoint_dir: str = "result1"
+    log_every: int = 100
+    seed: int = 0
+    # mesh
+    data_axis: int = -1          # -1: all devices on data axis
+    model_axis: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+    transformer: TransformerConfig = field(default_factory=TransformerConfig)
+    mask_predict: MaskPredictConfig = field(default_factory=MaskPredictConfig)
+    line_engine: LineEngineConfig = field(default_factory=LineEngineConfig)
+    inference: InferenceConfig = field(default_factory=InferenceConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+
+def to_dict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def to_json(cfg: Any) -> str:
+    return json.dumps(to_dict(cfg), indent=2)
+
+
+def _from_dict(cls, d: dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if isinstance(v, list):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def config_from_dict(d: dict) -> Config:
+    sub = {
+        "detector": DetectorConfig,
+        "transformer": TransformerConfig,
+        "mask_predict": MaskPredictConfig,
+        "line_engine": LineEngineConfig,
+        "inference": InferenceConfig,
+        "train": TrainConfig,
+    }
+    kwargs = {}
+    for name, cls in sub.items():
+        if name in d:
+            kwargs[name] = _from_dict(cls, d[name])
+    return Config(**kwargs)
+
+
+def config_from_json(s: str) -> Config:
+    return config_from_dict(json.loads(s))
