@@ -1,0 +1,303 @@
+"""Detector training augmentation: random affine crop + colorizers.
+
+Host-side numpy/cv2 implementation of the reference's Cython augmenter
+(`/root/reference/dataset/processer.pyx:260-876`): random rotation / scale /
+aspect / shear, a random crop centered near a random box, bilinear (or 5%
+nearest) resampling of the page image and the quarter-scale line/separator
+maps, partial-inversion augmentation, 1% all-blank samples, and the four
+fg/bg contrast-separated colorizers. Target maps come from
+:mod:`.targets`. A native C++ drop-in (``native/augment``) accelerates the
+warp+paint path when built; this module is the always-available fallback
+and the semantics reference.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..const import IMAGE_HEIGHT, IMAGE_WIDTH, SCALE
+from .targets import make_target_maps
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+def _affine_matrix(cx, cy, angle, size_x, size_y, sh_x, sh_y) -> np.ndarray:
+    """Forward 3x3 matrix: shear @ resize @ move(+c) @ rot @ move(-c)."""
+    shear = np.array([[1, sh_y, 0], [sh_x, 1, 0], [0, 0, 1]], np.float64)
+    resize = np.diag([size_x, size_y, 1.0])
+    move = np.array([[1, 0, cx], [0, 1, cy], [0, 0, 1]], np.float64)
+    rot = np.array([[np.cos(angle), -np.sin(angle), 0],
+                    [np.sin(angle), np.cos(angle), 0], [0, 0, 1]], np.float64)
+    back = np.array([[1, 0, -cx], [0, 1, -cy], [0, 0, 1]], np.float64)
+    return shear @ resize @ move @ rot @ back
+
+
+def sample_affine_params(rng: np.random.Generator, minsize: float,
+                         strong: bool = True):
+    """Augmentation parameter sampling (train step1 flavor)."""
+    angle = np.deg2rad(rng.normal() * (5.0 if strong else 1.0))
+    if strong:
+        size_x = rng.normal() + 1.0
+        aspect = abs(rng.normal()) + 1.0
+        if size_x < 0.8:
+            size_x = 0.8 - size_x + 0.8
+        if size_x < 1.0 and size_x * minsize < 10:
+            size_x = 10 / max(minsize, 1e-6)
+            aspect = 1.0
+    else:
+        size_x = abs(rng.normal()) + 1.0
+        aspect = 0.1 * abs(rng.normal()) + 1.0
+    size_y = size_x * aspect if rng.uniform() < 0.5 else size_x / aspect
+    sh_x = rng.normal() * 0.01
+    sh_y = rng.normal() * 0.01
+    return angle, size_x, size_y, sh_x, sh_y
+
+
+def inverse_partial(image: np.ndarray, rng: np.random.Generator) -> None:
+    """Invert a random axis-aligned subrectangle in place (uint8)."""
+    im_h, im_w = image.shape[:2]
+    h = int(rng.uniform() * (im_h - 1))
+    w = int(rng.uniform() * (im_w - 1))
+    i = int(rng.uniform() * (im_h - h + 1))
+    j = int(rng.uniform() * (im_w - w + 1))
+    image[i:i + h, j:j + w] = 255 - image[i:i + h, j:j + w]
+
+
+def transform_crop(
+    image: np.ndarray,        # (H, W) uint8 page rendering
+    textline: np.ndarray,     # (H/2, W/2) uint8
+    sepline: np.ndarray,      # (H/2, W/2) uint8
+    position: np.ndarray,     # (N, 4) float32 cx,cy,w,h
+    codelist: np.ndarray,     # (N, 2) int32
+    rng: np.random.Generator,
+    out_hw: Tuple[int, int] = (IMAGE_HEIGHT, IMAGE_WIDTH),
+    scale: int = SCALE,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    """Random affine + crop; returns (image[h,w] f32 in [0,1],
+    labelmap (h/s, w/s, 5), idmap (h/s, w/s, 2), minsize)."""
+    out_h, out_w = out_hw
+    mh, mw = out_h // scale, out_w // scale
+    im_h, im_w = image.shape
+    n = len(position)
+
+    mean_size = 10.0
+    if n:
+        s = float(np.sum(np.maximum(position[:, 2], position[:, 3])))
+        mean_size = s / n if s > 0 else 10.0
+
+    angle, size_x, size_y, sh_x, sh_y = sample_affine_params(rng, mean_size)
+
+    M = _affine_matrix(im_w / 2, im_h / 2, angle, size_x, size_y, sh_x, sh_y)
+    M2 = _affine_matrix(textline.shape[1] / 2, textline.shape[0] / 2,
+                        angle, size_x, size_y, sh_x, sh_y)
+    Minv = np.linalg.inv(M)
+    M2inv = np.linalg.inv(M2)
+
+    image = image.copy()
+    inverse_partial(image, rng)
+
+    # transform box corners (axis-aligned after transform, like the ref)
+    pos = position.astype(np.float64).copy()
+    if n:
+        p1 = pos[:, :2] - pos[:, 2:] / 2
+        p2 = pos[:, :2] + pos[:, 2:] / 2
+        r1 = (M[:2, :2] @ p1.T).T + M[:2, 2]
+        r2 = (M[:2, :2] @ p2.T).T + M[:2, 2]
+        pos[:, :2] = (r1 + r2) / 2
+        pos[:, 2:] = r2 - r1
+
+    # crop origin near a random box
+    if n:
+        cidx = int(rng.uniform() * n)
+        startx = pos[cidx, 0] - (rng.uniform() * out_w * 0.75 + out_w / 8)
+        starty = pos[cidx, 1] - (rng.uniform() * out_h * 0.75 + out_h / 8)
+    else:
+        startx = rng.uniform() * out_w
+        starty = rng.uniform() * out_h
+
+    pos[:, 0] -= startx
+    pos[:, 1] -= starty
+
+    keysize, idmap, minsize = make_target_maps(
+        pos.astype(np.float32), codelist, (mh, mw), scale)
+
+    # resample page image: dst(x,y) = src(Minv @ (x+startx, y+starty))
+    nearest = rng.uniform() < 0.05
+    A = Minv[:2, :].copy()
+    # absorb the start offset: src = Minv @ T(start) @ dst
+    T = np.array([[1, 0, startx], [0, 1, starty], [0, 0, 1]], np.float64)
+    A = (Minv @ T)[:2, :]
+    if cv2 is not None:
+        flags = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
+        out_img = cv2.warpAffine(
+            image, A.astype(np.float32), (out_w, out_h),
+            flags=flags | cv2.WARP_INVERSE_MAP,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+        out_img = out_img.astype(np.float32) / 255.0
+
+        # maps are half-resolution sources sampled at map scale:
+        # src = M2inv @ (x*scale/2 + start/2)
+        S = np.array([[scale / 2, 0, startx / 2],
+                      [0, scale / 2, starty / 2], [0, 0, 1]], np.float64)
+        A2 = (M2inv @ S)[:2, :]
+        line = cv2.warpAffine(
+            textline, A2.astype(np.float32), (mw, mh),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+        seps = cv2.warpAffine(
+            sepline, A2.astype(np.float32), (mw, mh),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+        line = line.astype(np.float32) / 255.0
+        seps = seps.astype(np.float32) / 255.0
+    else:  # pure-numpy fallback
+        out_img = _warp_numpy(image, Minv, startx, starty, out_h, out_w,
+                              nearest) / 255.0
+        line = _warp_numpy(textline, M2inv, startx / 2, starty / 2, mh, mw,
+                           False, step=scale / 2) / 255.0
+        seps = _warp_numpy(sepline, M2inv, startx / 2, starty / 2, mh, mw,
+                           False, step=scale / 2) / 255.0
+
+    labelmap = np.concatenate(
+        [keysize, line[..., None], seps[..., None]], axis=-1)
+    return out_img.astype(np.float32), labelmap.astype(np.float32), idmap, \
+        minsize
+
+
+def _warp_numpy(img, Minv, sx, sy, out_h, out_w, nearest, step=1.0):
+    ys, xs = np.mgrid[0:out_h, 0:out_w].astype(np.float64)
+    xs = xs * step + sx
+    ys = ys * step + sy
+    rx = Minv[0, 0] * xs + Minv[0, 1] * ys + Minv[0, 2]
+    ry = Minv[1, 0] * xs + Minv[1, 1] * ys + Minv[1, 2]
+    h, w = img.shape
+
+    def get(xi, yi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        out = np.zeros(xi.shape, np.float32)
+        out[valid] = img[yi[valid], xi[valid]]
+        return out
+
+    if nearest:
+        return get((rx + 0.5).astype(np.int64), (ry + 0.5).astype(np.int64))
+    x0 = np.floor(rx).astype(np.int64)
+    y0 = np.floor(ry).astype(np.int64)
+    dx = (rx - x0).astype(np.float32)
+    dy = (ry - y0).astype(np.float32)
+    return ((1 - dx) * (1 - dy) * get(x0, y0) + dx * (1 - dy) * get(x0 + 1, y0)
+            + (1 - dx) * dy * get(x0, y0 + 1) + dx * dy * get(x0 + 1, y0 + 1))
+
+
+# ---------------------------------------------------------------------------
+# colorizers: grayscale glyph alpha -> RGB with forced fg/bg contrast
+# (`/root/reference/dataset/processer.pyx:676-876` semantics)
+# ---------------------------------------------------------------------------
+
+def _contrast_bg(fg: float, rng) -> float:
+    """Sample a background level at least 0.5 away from ``fg``."""
+    b = rng.uniform()
+    if fg > 0.5:
+        return b * (fg - 0.5)
+    return 1 - b * (1 - (fg + 0.5))
+
+
+def colorize_mono(im: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    fg = rng.uniform()
+    bg = _contrast_bg(fg, rng)
+    out = im * fg + (1 - im) * bg
+    return np.repeat(out[..., None], 3, axis=-1).astype(np.float32)
+
+
+def colorize_single(im: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    chans = []
+    for _ in range(3):
+        fg = rng.uniform()
+        bg = _contrast_bg(fg, rng)
+        chans.append(im * fg + (1 - im) * bg)
+    return np.stack(chans, axis=-1).astype(np.float32)
+
+
+def colorize_double(im: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Two foreground colors split at a random rectangle boundary."""
+    h, w = im.shape
+    fg1 = rng.uniform(size=3)
+    fg2 = rng.uniform(size=3)
+    top = int(rng.uniform() * (h - 1))
+    bottom = int(rng.uniform() * (h - top)) + top
+    left = int(rng.uniform() * (w - 1))
+    right = int(rng.uniform() * (w - left)) + left
+    region = np.zeros((h, w), bool)
+    region[top:bottom, left:right] = True
+
+    out = np.empty((h, w, 3), np.float32)
+    for c in range(3):
+        fg_hi = max(fg1[c], fg2[c]) + 0.5
+        fg_lo = min(fg1[c], fg2[c]) - 0.5
+        b = rng.uniform()
+        if fg_lo > 0:
+            bg = b * fg_lo
+        else:
+            bg = 1 - b * (1 - min(fg_hi, 1.0))
+        fg = np.where(region, fg1[c], fg2[c])
+        out[..., c] = im * fg + (1 - im) * bg
+    return out
+
+
+def colorize_background(im: np.ndarray, bgimg: np.ndarray,
+                        rng: np.random.Generator) -> np.ndarray:
+    """Composite glyphs over a random crop of a photo background with a
+    foreground color contrast-separated from the local background mean."""
+    h, w = im.shape
+    bh, bw = bgimg.shape[:2]
+    sy = int(rng.uniform() * max(1, bh - h))
+    sx = int(rng.uniform() * max(1, bw - w))
+    crop = bgimg[sy:sy + h, sx:sx + w].astype(np.float32) / 255.0
+    if crop.shape[0] < h or crop.shape[1] < w:
+        crop = np.pad(crop, ((0, h - crop.shape[0]),
+                             (0, w - crop.shape[1]), (0, 0)), mode="wrap")
+    out = np.empty((h, w, 3), np.float32)
+    for c in range(3):
+        bg_mean = float(np.mean(crop[..., c]))
+        fg = _contrast_bg(bg_mean, rng)  # symmetric relation
+        out[..., c] = im * fg + (1 - im) * crop[..., c]
+    return out
+
+
+def colorize(im: np.ndarray, rng: np.random.Generator,
+             bgimg: Optional[np.ndarray] = None) -> np.ndarray:
+    """Random colorizer choice (mirrors transforms3's weighting)."""
+    r = rng.uniform()
+    if bgimg is not None and r < 0.25:
+        return colorize_background(im, bgimg, rng)
+    if r < 0.5:
+        return colorize_mono(im, rng)
+    if r < 0.75:
+        return colorize_single(im, rng)
+    return colorize_double(im, rng)
+
+
+def process_sample(sample: Dict[str, np.ndarray], rng: np.random.Generator,
+                   blank_prob: float = 0.01) -> Dict[str, np.ndarray]:
+    """Full step1 sample pipeline: crop/warp + targets + colorize.
+
+    ``sample``: image (H,W) u8, textline/sepline (H/2,W/2) u8,
+    position (N,4) f32, code_list (N,2) i32.
+    Returns image (h,w,3) f32, labelmap (h/s,w/s,5), idmap (h/s,w/s,2).
+    """
+    if rng.uniform() < blank_prob:
+        return {
+            "image": np.zeros((IMAGE_HEIGHT, IMAGE_WIDTH, 3), np.float32),
+            "labelmap": np.zeros(
+                (IMAGE_HEIGHT // SCALE, IMAGE_WIDTH // SCALE, 5), np.float32),
+            "idmap": np.zeros(
+                (IMAGE_HEIGHT // SCALE, IMAGE_WIDTH // SCALE, 2), np.int32),
+        }
+    img, labelmap, idmap, _ = transform_crop(
+        sample["image"], sample["textline"], sample["sepline"],
+        sample["position"], sample["code_list"], rng)
+    rgb = colorize(img, rng, sample.get("background"))
+    return {"image": rgb, "labelmap": labelmap, "idmap": idmap}

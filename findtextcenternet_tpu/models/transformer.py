@@ -1,0 +1,360 @@
+"""Encoder-decoder text transformer with mask-predict NAR decoding.
+
+Capability-equivalent to the reference transformer
+(`/root/reference/models/transformer.py:12-360`), redesigned for TPU:
+
+* trainable sinusoid-initialized positional tables injected inside *every*
+  attention layer (separate q/k tables), SwiGLU feed-forward, B2T residuals
+  (``x + ffn_in + block_skip``), modulo-sum token embedding, and 3 output
+  heads (one per CRT modulus);
+* the mask-predict inference loop is a fixed-shape ``lax.while_loop`` with
+  masked updates and vectorized top-k^3 CRT product-space search — no
+  data-dependent python control flow, everything jits once;
+* attention is einsum-based at static (400,) sequence lengths, batched over
+  many windows at once (the reference decodes one window at a time).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .. import crt
+from ..const import (
+    DECODER_MSK,
+    ENCODER_DIM,
+    MAX_CODEPOINT,
+    MAX_DECODER_LEN,
+    MAX_ENCODER_LEN,
+    MODULO_LIST,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerDims:
+    """Model dimensions (matches the trained reference checkpoints)."""
+    enc_input_dim: int = ENCODER_DIM
+    embed_dim: int = 768
+    head_num: int = 12
+    enc_block_num: int = 10
+    dec_block_num: int = 10
+    max_enc_seq_len: int = MAX_ENCODER_LEN
+    max_dec_seq_len: int = MAX_DECODER_LEN
+    dropout: float = 0.0
+
+
+def sinusoid_init(max_len: int, d_model: int) -> np.ndarray:
+    enc = np.zeros((max_len, d_model), dtype=np.float32)
+    pos = np.arange(max_len, dtype=np.float32)[:, None]
+    i2 = np.arange(0, d_model, 2, dtype=np.float32)
+    div = np.power(10000.0, i2 / d_model)
+    enc[:, 0::2] = np.sin(pos / div)
+    enc[:, 1::2] = np.cos(pos / div)
+    return enc
+
+
+class PositionalEncoding(nn.Module):
+    """Trainable positional table, sinusoid-initialized."""
+    max_len: int
+    d_model: int
+
+    @nn.compact
+    def __call__(self, x):
+        table = self.param(
+            "table",
+            lambda key, shape: jnp.asarray(sinusoid_init(*shape)),
+            (self.max_len, self.d_model),
+        )
+        seq = x.shape[1]
+        return x + table[None, :seq, :].astype(x.dtype)
+
+
+class SwiGLU(nn.Module):
+    dim: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x1 = nn.Dense(self.dim * 2, name="w1")(x)
+        xg = nn.silu(nn.Dense(self.dim * 2, name="wg")(x))
+        x = x1 * xg
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.Dense(self.dim, name="w2")(x)
+
+
+class MultiheadAttn(nn.Module):
+    """MHA with per-layer positional tables added to q/k inputs.
+
+    Self-attention (``key is None``) adds the *query* table to both sides;
+    cross-attention uses a separate key table.
+    """
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    max_seq_len: int = 5000
+    key_max_seq_len: Optional[int] = None   # cross-attn key table length
+
+    @nn.compact
+    def __call__(self, query, key=None, value=None, key_mask=None,
+                 train: bool = False):
+        pos_q = PositionalEncoding(self.max_seq_len, self.embed_dim,
+                                   name="pos_emb_q")
+        if key is None:
+            key = query
+            pos_k = pos_q
+        else:
+            pos_k = PositionalEncoding(
+                self.key_max_seq_len or self.max_seq_len, self.embed_dim,
+                name="pos_emb_k")
+        if value is None:
+            value = key
+
+        query = pos_q(query)
+        key = pos_k(key)
+
+        d = self.embed_dim
+        h = self.num_heads
+        hd = d // h
+        q = nn.Dense(d, use_bias=False, name="q_proj")(query)
+        k = nn.Dense(d, use_bias=False, name="k_proj")(key)
+        v = nn.Dense(d, use_bias=False, name="v_proj")(value)
+
+        b, tq, _ = q.shape
+        tk = k.shape[1]
+        q = q.reshape(b, tq, h, hd)
+        k = k.reshape(b, tk, h, hd)
+        v = v.reshape(b, tk, h, hd)
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits / jnp.sqrt(jnp.asarray(hd, dtype=logits.dtype))
+        if key_mask is not None:
+            # additive mask, broadcastable to (B, H, Tq, Tk)
+            logits = logits + key_mask.astype(logits.dtype)
+        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+        out = out.reshape(b, tq, d)
+        return nn.Dense(d, use_bias=False, name="out_proj")(out)
+
+
+class EncoderBlock(nn.Module):
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    max_seq_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x, key_mask=None, train: bool = False):
+        skip = x
+        x = MultiheadAttn(self.embed_dim, self.num_heads, self.dropout,
+                          self.max_seq_len, name="mha")(
+            x, key_mask=key_mask, train=train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.LayerNorm(name="norm1")(x + skip)
+        ffn_in = x
+        x = SwiGLU(self.embed_dim, self.dropout, name="ff")(x, train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        # B2T residual: add both the ffn input and the block input
+        return nn.LayerNorm(name="norm2")(x + ffn_in + skip)
+
+
+class DecoderBlock(nn.Module):
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    max_seq_len: int = 5000
+    enc_max_seq_len: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, enc, key_mask=None, train: bool = False):
+        skip = x
+        x = MultiheadAttn(self.embed_dim, self.num_heads, self.dropout,
+                          self.max_seq_len, name="self_attn")(
+            x, train=train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.LayerNorm(name="norm1")(x + skip)
+        cross_in = x
+        x = MultiheadAttn(self.embed_dim, self.num_heads, self.dropout,
+                          self.max_seq_len,
+                          key_max_seq_len=self.enc_max_seq_len,
+                          name="cross_attn")(
+            x, key=enc, key_mask=key_mask, train=train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.LayerNorm(name="norm2")(x + cross_in)
+        ffn_in = x
+        x = SwiGLU(self.embed_dim, self.dropout, name="ff")(x, train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.LayerNorm(name="norm3")(x + ffn_in + skip)
+
+
+class Encoder(nn.Module):
+    dims: TransformerDims
+
+    @nn.compact
+    def __call__(self, x, key_mask=None, train: bool = False):
+        d = self.dims
+        x = nn.Dense(d.embed_dim, use_bias=False, name="embed")(x)
+        x = PositionalEncoding(d.max_enc_seq_len, d.embed_dim,
+                               name="pos_emb")(x)
+        x = nn.LayerNorm(name="norm")(x)
+        x = nn.Dropout(d.dropout, deterministic=not train)(x)
+        for i in range(d.enc_block_num):
+            x = EncoderBlock(d.embed_dim, d.head_num, d.dropout,
+                             d.max_enc_seq_len, name=f"block{i}")(
+                x, key_mask=key_mask, train=train)
+        return x
+
+
+class Decoder(nn.Module):
+    dims: TransformerDims
+
+    @nn.compact
+    def __call__(self, tokens, enc, key_mask=None, train: bool = False):
+        d = self.dims
+        # modulo-sum embedding: sum of one embedding per CRT residue
+        x = None
+        for i, m in enumerate(MODULO_LIST):
+            e = nn.Embed(m, d.embed_dim, name=f"embed{i}")(tokens % m)
+            x = e if x is None else x + e
+        x = PositionalEncoding(d.max_dec_seq_len, d.embed_dim,
+                               name="pos_emb")(x)
+        x = nn.LayerNorm(name="norm")(x)
+        x = nn.Dropout(d.dropout, deterministic=not train)(x)
+        for i in range(d.dec_block_num):
+            x = DecoderBlock(d.embed_dim, d.head_num, d.dropout,
+                             d.max_dec_seq_len,
+                             enc_max_seq_len=d.max_enc_seq_len,
+                             name=f"block{i}")(
+                x, enc, key_mask=key_mask, train=train)
+        return [nn.Dense(m, name=f"out{i}")(x)
+                for i, m in enumerate(MODULO_LIST)]
+
+
+def make_key_mask(enc_input: jnp.ndarray) -> jnp.ndarray:
+    """Additive (B,1,1,S) mask: -inf where the encoder vector is all-zero."""
+    pad = jnp.all(enc_input == 0, axis=-1)
+    return jnp.where(pad[:, None, None, :], -jnp.inf, 0.0)
+
+
+class Transformer(nn.Module):
+    dims: TransformerDims = TransformerDims()
+
+    def setup(self):
+        self.encoder = Encoder(self.dims)
+        self.decoder = Decoder(self.dims)
+
+    def __call__(self, enc_input, dec_input, train: bool = False):
+        key_mask = make_key_mask(enc_input)
+        enc = self.encoder(enc_input, key_mask=key_mask, train=train)
+        return self.decoder(dec_input, enc, key_mask=key_mask, train=train)
+
+    def encode(self, enc_input, train: bool = False):
+        key_mask = make_key_mask(enc_input)
+        return self.encoder(enc_input, key_mask=key_mask, train=train)
+
+    def decode(self, dec_input, enc_output, key_mask, train: bool = False):
+        return self.decoder(dec_input, enc_output, key_mask=key_mask,
+                            train=train)
+
+
+# ---------------------------------------------------------------------------
+# Mask-predict inference
+# ---------------------------------------------------------------------------
+
+def crt_combine_topk(logits: Sequence[jnp.ndarray], topk: int = 3):
+    """Product-space CRT combine over per-modulus top-k candidates.
+
+    For each position, take the top-k residues per modulus, form all k^3
+    combinations, CRT-decode each, score by the geometric mean of the three
+    probabilities, zero out invalid (> MAX_CODEPOINT) reconstructions, and
+    return the best (code, prob) per position.
+
+    Matches the semantics of the reference's python-side product search
+    (`/root/reference/models/transformer.py:306-323`) but fully vectorized.
+    """
+    tops = []
+    for lg in logits:
+        p = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
+        tp, ti = jax.lax.top_k(p, topk)  # (B, L, k)
+        tops.append((tp, ti))
+
+    (p0, i0), (p1, i1), (p2, i2) = tops
+    # broadcast to (B, L, k, k, k); combo axis order (i0, i1, i2) with the
+    # last index fastest — the same enumeration order as itertools.product.
+    b, l, k = p0.shape
+    i0b = i0[..., :, None, None]
+    i1b = i1[..., None, :, None]
+    i2b = i2[..., None, None, :]
+    codes = crt.decode(
+        jnp.broadcast_to(i0b, (b, l, k, k, k)),
+        jnp.broadcast_to(i1b, (b, l, k, k, k)),
+        jnp.broadcast_to(i2b, (b, l, k, k, k)),
+    ).reshape(b, l, k * k * k)
+
+    logp = (
+        jnp.log(jnp.clip(p0[..., :, None, None], 1e-10))
+        + jnp.log(jnp.clip(p1[..., None, :, None], 1e-10))
+        + jnp.log(jnp.clip(p2[..., None, None, :], 1e-10))
+    )
+    prob = jnp.exp(logp / 3.0).reshape(b, l, k * k * k)
+    prob = jnp.where(codes > MAX_CODEPOINT, 0.0, prob)
+
+    best = jnp.argmax(prob, axis=-1)
+    code = jnp.take_along_axis(codes, best[..., None], axis=-1)[..., 0]
+    p = jnp.take_along_axis(prob, best[..., None], axis=-1)[..., 0]
+    return code, p
+
+
+def mask_predict(model: Transformer, params, enc_input,
+                 max_rounds: int = 8, topk: int = 3,
+                 remask_threshold: float = 0.9,
+                 early_stop_threshold: float = 0.99):
+    """Non-autoregressive iterative decode; fully jittable, batched.
+
+    Starts from an all-MSK decoder input, refines up to ``max_rounds``
+    times, remasking low-confidence positions, with the same early-stop
+    rules as the reference predictor
+    (`/root/reference/models/transformer.py:274-360`).
+
+    Returns ``(codes[B, max_dec_seq_len], probs[B, max_dec_seq_len])``.
+    """
+    dec_len = model.dims.max_dec_seq_len
+    key_mask = make_key_mask(enc_input)
+    enc_output = model.apply(params, enc_input, method=Transformer.encode)
+
+    b = enc_input.shape[0]
+    init_input = jnp.full((b, dec_len), DECODER_MSK, dtype=jnp.int32)
+    init_output = jnp.zeros((b, dec_len), dtype=jnp.int32)
+    init_p = jnp.zeros((b, dec_len), dtype=jnp.float32)
+
+    def cond(carry):
+        _, _, _, k, done = carry
+        return jnp.logical_and(k < max_rounds, jnp.logical_not(done))
+
+    def body(carry):
+        dec_input, _, _, k, _ = carry
+        logits = model.apply(params, dec_input, enc_output, key_mask,
+                             method=Transformer.decode)
+        code, p = crt_combine_topk(logits, topk)
+        invalid = p <= 0.0  # invalid reconstructions got prob 0
+
+        newly = jnp.logical_and(dec_input == DECODER_MSK, code > 0)
+        all_conf = jnp.all(jnp.where(newly, p > early_stop_threshold, True))
+
+        remask = jnp.logical_or(p < remask_threshold, invalid)
+        any_remask = jnp.any(remask)
+        done = jnp.logical_or(all_conf, jnp.logical_not(any_remask))
+
+        new_input = jnp.where(remask, DECODER_MSK, code).astype(jnp.int32)
+        return (new_input, code.astype(jnp.int32), p, k + 1, done)
+
+    _, code, p, _, _ = jax.lax.while_loop(
+        cond, body, (init_input, init_output, init_p,
+                     jnp.asarray(0), jnp.asarray(False)))
+    return code, p

@@ -1,0 +1,107 @@
+"""Device mesh and sharding layer.
+
+The reference has no multi-device support at all (SURVEY.md §2.8); this is
+new TPU-first design: a (data, model) mesh, NamedSharding rules applied by
+parameter-path regex, and pjit-compatible helpers. Collectives are inserted
+by XLA/GSPMD from the shardings — there is no hand-written communication.
+
+Model sizes here (detector ≤ ~210M params, transformer ~150M) mean data
+parallelism is the primary axis; tensor parallelism over the transformer's
+feed-forward/attention projections is supported for the 'model' axis so the
+same code scales to larger meshes and serves as the multi-chip validation
+path (``__graft_entry__.dryrun_multichip``).
+"""
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Create a ('data', 'model') mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_data is None:
+        n_data = n // n_model
+    assert n_data * n_model <= n, (n_data, n_model, n)
+    arr = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+# parameter-path regex -> PartitionSpec. First match wins; default replicated.
+# Paths are '/'-joined flax param tree keys.
+_TP_RULES = [
+    # transformer SwiGLU: w1/wg split on the expanded (output) dim,
+    # w2 on the contracted (input) dim
+    (re.compile(r".*/ff/w1/kernel$"), P(None, "model")),
+    (re.compile(r".*/ff/wg/kernel$"), P(None, "model")),
+    (re.compile(r".*/ff/w2/kernel$"), P("model", None)),
+    (re.compile(r".*/ff/w[1g]/bias$"), P("model")),
+    # attention projections: q/k/v split on heads (output dim), out on input
+    (re.compile(r".*/(q|k|v)_proj/kernel$"), P(None, "model")),
+    (re.compile(r".*/out_proj/kernel$"), P("model", None)),
+    # SimpleDecoder MLPs: alternate split
+    (re.compile(r".*/block\d+_fc0/kernel$"), P(None, "model")),
+    (re.compile(r".*/block\d+_fc1/kernel$"), P("model", None)),
+]
+
+
+def param_pspec(path: str) -> P:
+    for rx, spec in _TP_RULES:
+        if rx.match(path):
+            return spec
+    return P()
+
+
+def _tree_paths(tree, prefix=""):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _tree_paths(v, f"{prefix}/{k}" if prefix else k)
+    else:
+        yield prefix, tree
+
+
+def shard_params(params, mesh: Mesh):
+    """Apply the TP rules to a param pytree, return sharded copies."""
+    def place(path, leaf):
+        spec = param_pspec(path)
+        # dims must divide; fall back to replication when they don't
+        try:
+            sh = NamedSharding(mesh, spec)
+            for dim, axis in enumerate(spec):
+                if axis is None:
+                    continue
+                size = mesh.shape[axis]
+                if leaf.ndim <= dim or leaf.shape[dim] % size != 0:
+                    sh = NamedSharding(mesh, P())
+                    break
+        except Exception:
+            sh = NamedSharding(mesh, P())
+        return jax.device_put(leaf, sh)
+
+    flat = dict(_tree_paths(params))
+    placed = {p: place(p, l) for p, l in flat.items()}
+
+    def rebuild(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: rebuild(v, f"{prefix}/{k}" if prefix else k)
+                    for k, v in tree.items()}
+        return placed[prefix]
+
+    return rebuild(params)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard leading batch axis over the 'data' mesh axis."""
+    sh = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,131 @@
+"""Pure jittable train/eval steps for the detector and the transformer.
+
+Equivalents of the reference's per-script step closures
+(`/root/reference/train1.py:125-180`, `/root/reference/train3.py:129-186`),
+as pjit-ready pure functions: bf16 compute, CoV loss weighting threaded as
+state, BN statistics updated functionally, gradients averaged across the
+data mesh axis by GSPMD (no explicit collectives).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import (
+    DETECTOR_LOSS_NAMES,
+    cov_apply,
+    cov_eval,
+    detector_loss,
+    transformer_loss,
+)
+from ..models.detector import topk_fmask
+from .state import TrainState
+
+
+def detector_train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                        fmask_k: int = 1024
+                        ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One detector training step.
+
+    batch: image (B,H,W,3) float in [0,1]; labelmap (B,h,w,5);
+           idmap (B,h,w,2) int32.
+    """
+    keylabel = batch["labelmap"][..., 0]
+    fmask_idx = topk_fmask(keylabel, fmask_k)
+
+    def loss_fn(params):
+        (heatmap, decoder_outputs), updates = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["image"], fmask_idx, True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.fold_in(
+                jax.random.PRNGKey(0), state.step)},
+        )
+        metrics = detector_loss(fmask_idx, batch["labelmap"], batch["idmap"],
+                                heatmap, decoder_outputs)
+        sub = [metrics[k] for k in DETECTOR_LOSS_NAMES]
+        weighted, new_cov, alphas = cov_apply(state.cov, sub)
+        return weighted, (metrics, new_cov, updates["batch_stats"])
+
+    grads, (metrics, new_cov, new_bn) = jax.grad(
+        loss_fn, has_aux=True)(state.params)
+    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree_util.tree_map(
+        lambda p, u: p + u, state.params, updates)
+    new_state = state.replace(
+        step=state.step + 1, params=new_params, batch_stats=new_bn,
+        opt_state=new_opt, cov=new_cov)
+    return new_state, metrics
+
+
+def detector_eval_step(state: TrainState, batch, fmask_k: int = 1024):
+    keylabel = batch["labelmap"][..., 0]
+    fmask_idx = topk_fmask(keylabel, fmask_k)
+    heatmap, decoder_outputs = state.apply_fn(
+        {"params": state.eval_params(), "batch_stats": state.batch_stats},
+        batch["image"], fmask_idx, False)
+    metrics = detector_loss(fmask_idx, batch["labelmap"], batch["idmap"],
+                            heatmap, decoder_outputs)
+    metrics["loss"] = cov_eval([metrics[k] for k in DETECTOR_LOSS_NAMES])
+    return metrics
+
+
+def detector_bn_recalib_step(state: TrainState, batch, fmask_k: int = 1024
+                             ) -> TrainState:
+    """Re-estimate BN statistics with the schedule-free *eval* params.
+
+    The reference runs 50 no-grad train-mode batches after switching the
+    optimizer to eval mode before every checkpoint
+    (`/root/reference/train1.py:203-211`); this is the functional analog.
+    """
+    keylabel = batch["labelmap"][..., 0]
+    fmask_idx = topk_fmask(keylabel, fmask_k)
+    _, updates = state.apply_fn(
+        {"params": state.eval_params(), "batch_stats": state.batch_stats},
+        batch["image"], fmask_idx, True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(0)},
+    )
+    return state.replace(batch_stats=updates["batch_stats"])
+
+
+def transformer_train_step(state: TrainState, batch
+                           ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One transformer training step.
+
+    batch: encoder_input (B,S,106); decoder_input (B,L) int32 with MSK;
+           decoder_true (B,L) int32 target codes.
+    Loss is computed at positions where input was MSK but target is real
+    (`/root/reference/train3.py:141-151` semantics).
+    """
+    mask = jnp.logical_and(batch["decoder_input"] == 3,
+                           batch["decoder_true"] != 0)
+
+    def loss_fn(params):
+        outputs = state.apply_fn(
+            {"params": params},
+            batch["encoder_input"], batch["decoder_input"], True,
+            rngs={"dropout": jax.random.fold_in(
+                jax.random.PRNGKey(1), state.step)},
+        )
+        metrics = transformer_loss(outputs, batch["decoder_true"], mask)
+        return metrics["loss"], metrics
+
+    grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree_util.tree_map(
+        lambda p, u: p + u, state.params, updates)
+    new_state = state.replace(step=state.step + 1, params=new_params,
+                              opt_state=new_opt)
+    return new_state, metrics
+
+
+def transformer_eval_step(state: TrainState, batch):
+    mask = jnp.logical_and(batch["decoder_input"] == 3,
+                           batch["decoder_true"] != 0)
+    outputs = state.apply_fn({"params": state.eval_params()},
+                             batch["encoder_input"], batch["decoder_input"],
+                             False)
+    return transformer_loss(outputs, batch["decoder_true"], mask)
