@@ -1,0 +1,660 @@
+"""End-to-end page OCR pipeline.
+
+Behavioral equivalent of the reference pipeline
+(`/root/reference/process_ocr_base.py`), redesigned for TPU throughput:
+
+* sliding 768x768 window, stride 0.6, white padding — but detector tiles
+  run **batched** through one jitted call (the reference runs them one at
+  a time), with peak extraction fused on device (`ops/peaks.py`);
+* histogram-contrast filter, greedy IoU dedup, separator rejection and
+  3x3 code max-pool on the host (tiny arrays);
+* reading order via the native line engine (in-process ctypes);
+* transformer windows are decoded in **one batched mask-predict call**
+  (the reference loops windows one by one);
+* JSON output: per-box / per-line / per-block entries + text with ruby
+  markup, aozora and noruby variants.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import crt
+from ..config import Config
+from ..const import (
+    DECODER_EOT,
+    DECODER_PAD,
+    DECODER_SOT,
+    ENCODER_DIM,
+    FEATURE_DIM,
+    MAX_CODEPOINT,
+    MAX_ENCODER_LEN,
+    SCALE,
+)
+from ..models.detector import CenterNetDetection
+from ..models.transformer import Transformer, TransformerDims, mask_predict
+from ..ops.peaks import extract_peaks
+from ..utils.text import decode_ruby
+from . import lineengine
+
+UNICODE_WHITESPACE = set(
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0     "
+    "           "
+    "　")
+
+
+def image_hist_contrast(im: np.ndarray) -> float:
+    """2-means cluster distance of the pixel histogram (max over RGB).
+
+    Same contrast statistic as the reference's ``imageHist``
+    (`/root/reference/process_ocr_base.py:652-693`).
+    """
+    def cluster_dist(hist):
+        s = hist.sum()
+        if s == 0:
+            return 0.0
+        i = np.arange(hist.shape[0])
+        v = hist * i
+        mean = v.sum() / s
+        lo, hi = hist[: int(mean + 0.5)], hist[int(mean + 0.5):]
+        if lo.sum() == 0 or hi.sum() == 0:
+            return 0.0
+        k1 = (v[: int(mean + 0.5)]).sum() / lo.sum()
+        k2 = (v[int(mean + 0.5):]).sum() / hi.sum()
+        d_prev, d = 256.0, abs(k1 - k2)
+        while d_prev != d:
+            d_prev = d
+            m1 = np.abs(i - k1) < np.abs(i - k2)
+            s1, s2 = hist[m1].sum(), hist[~m1].sum()
+            if s1 == 0 or s2 == 0:
+                return 0.0
+            k1 = v[m1].sum() / s1
+            k2 = v[~m1].sum() / s2
+            d = abs(k1 - k2)
+        return d
+
+    best = -1.0
+    for c in range(im.shape[-1]):
+        hist = np.histogram(im[..., c], bins=256, range=(0, 256))[0]
+        best = max(best, cluster_dist(hist))
+    return best
+
+
+@dataclasses.dataclass
+class DetectedPage:
+    locations: np.ndarray      # (N, 9): score, cx, cy, w, h, code1..4
+    features: np.ndarray       # (N, FEATURE_DIM)
+    lines: np.ndarray          # page textline prob map (H/4, W/4)
+    seps: np.ndarray           # page separator prob map
+
+
+class OCRPipeline:
+    def __init__(self, config: Config = Config(),
+                 detector_variables=None, transformer_variables=None,
+                 model_size: Optional[str] = None, seed: int = 0):
+        self.cfg = config
+        size = model_size or config.detector.model_size
+        self.detector = CenterNetDetection(
+            model_size=size, feature_dim=config.detector.feature_dim,
+            dtype=jnp.bfloat16)
+        dims = TransformerDims(
+            enc_input_dim=config.transformer.enc_input_dim,
+            embed_dim=config.transformer.embed_dim,
+            head_num=config.transformer.head_num,
+            enc_block_num=config.transformer.enc_block_num,
+            dec_block_num=config.transformer.dec_block_num,
+            max_enc_seq_len=config.transformer.max_enc_seq_len,
+            max_dec_seq_len=config.transformer.max_dec_seq_len)
+        self.transformer = Transformer(dims)
+
+        key = jax.random.PRNGKey(seed)
+        tile = config.inference.tile_size
+        if detector_variables is None:
+            detector_variables = self.detector.init(
+                key, jnp.zeros((1, tile, tile, 3)))
+        if transformer_variables is None:
+            transformer_variables = self.transformer.init(
+                key, jnp.zeros((1, dims.max_enc_seq_len, dims.enc_input_dim)),
+                jnp.zeros((1, dims.max_dec_seq_len), jnp.int32))
+        self.det_vars = detector_variables
+        self.tf_vars = transformer_variables
+
+        mp = config.mask_predict
+        ic = config.inference
+
+        @jax.jit
+        def _detect(variables, images, region_masks):
+            heatmap, features = self.detector.apply(variables, images)
+            peaks = extract_peaks(heatmap, features,
+                                  max_peaks=ic.max_peaks_per_tile,
+                                  threshold=ic.peak_cutoff,
+                                  region_mask=region_masks)
+            maps = {
+                "keymap": jax.nn.sigmoid(heatmap[..., 0].astype(jnp.float32)),
+                "line": jax.nn.sigmoid(heatmap[..., 3].astype(jnp.float32)),
+                "seps": jax.nn.sigmoid(heatmap[..., 4].astype(jnp.float32)),
+                "codes": jax.nn.sigmoid(heatmap[..., 5:9].astype(jnp.float32)),
+            }
+            return peaks, maps
+
+        self._detect = _detect
+
+        @jax.jit
+        def _decode(variables, enc_input):
+            return mask_predict(
+                self.transformer, variables, enc_input,
+                max_rounds=mp.max_rounds, topk=mp.topk,
+                remask_threshold=mp.remask_threshold,
+                early_stop_threshold=mp.early_stop_threshold)
+
+        self._decode = _decode
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_torch_checkpoints(cls, model_pt: str, model3_pt: str,
+                               config: Config = Config(),
+                               model_size: str = "xl") -> "OCRPipeline":
+        from ..io.torch_import import (
+            import_detection_only, import_transformer, load_torch_state_dict)
+        det_sd = load_torch_state_dict(model_pt)
+        det_vars = import_detection_only(det_sd, model_size)
+        tf_sd = load_torch_state_dict(model3_pt)
+        tf_vars = import_transformer(tf_sd)
+        return cls(config, det_vars, tf_vars, model_size=model_size)
+
+    # ------------------------------------------------------------------
+    # stage 1: tiled detection
+    # ------------------------------------------------------------------
+
+    def run_detector(self, img: np.ndarray) -> DetectedPage:
+        ic = self.cfg.inference
+        tile = ic.tile_size
+        step = int(tile * ic.stride_ratio)
+
+        padx = max(0, (tile - img.shape[1]) % step, tile - img.shape[1])
+        pady = max(0, (tile - img.shape[0]) % step, tile - img.shape[0])
+        img = np.pad(img, [[0, pady], [0, padx], [0, 0]],
+                     constant_values=255)
+        H, W = img.shape[:2]
+        mh, mw = H // SCALE, W // SCALE
+        ms = tile // SCALE
+
+        tiles, offs, masks = [], [], []
+        for y in range(0, H - tile + 1, step):
+            for x in range(0, W - tile + 1, step):
+                tiles.append(img[y:y + tile, x:x + tile].astype(np.float32)
+                             / 255.0)
+                offs.append((x, y))
+                m = np.zeros((ms, ms), bool)
+                x_min = int(ms * (1 - ic.stride_ratio) / 2) if x > 0 else 0
+                x_max = (int(ms * (1 - (1 - ic.stride_ratio) / 2)) + 1
+                         if x + tile < W else ms)
+                y_min = int(ms * (1 - ic.stride_ratio) / 2) if y > 0 else 0
+                y_max = (int(ms * (1 - (1 - ic.stride_ratio) / 2)) + 1
+                         if y + tile < H else ms)
+                m[y_min:y_max, x_min:x_max] = True
+                masks.append(m)
+
+        keymap_all = np.zeros((mh, mw), np.float32)
+        lines_all = np.zeros((mh, mw), np.float32)
+        seps_all = np.zeros((mh, mw), np.float32)
+        codes_all = np.zeros((mh, mw, 4), np.float32)
+        locations: List[np.ndarray] = []
+        glyphfeats: List[np.ndarray] = []
+
+        B = ic.detector_batch
+        for i0 in range(0, len(tiles), B):
+            chunk = tiles[i0:i0 + B]
+            cmask = masks[i0:i0 + B]
+            n = len(chunk)
+            if n < B:  # pad to the compiled batch shape
+                chunk = chunk + [np.zeros_like(chunk[0])] * (B - n)
+                cmask = cmask + [np.zeros_like(cmask[0])] * (B - n)
+            peaks, maps = self._detect(
+                self.det_vars, jnp.asarray(np.stack(chunk)),
+                jnp.asarray(np.stack(cmask)))
+            peaks = {k: np.asarray(v) for k, v in peaks.items()}
+            maps = {k: np.asarray(v) for k, v in maps.items()}
+
+            for bi in range(n):
+                x, y = offs[i0 + bi]
+                xs, ys = x // SCALE, y // SCALE
+                m = masks[i0 + bi]
+                sl = np.s_[ys:ys + ms, xs:xs + ms]
+                np.maximum(lines_all[sl], maps["line"][bi] * m,
+                           out=lines_all[sl])
+                np.maximum(seps_all[sl], maps["seps"][bi] * m,
+                           out=seps_all[sl])
+                np.maximum(keymap_all[sl], maps["keymap"][bi] * m,
+                           out=keymap_all[sl])
+                for k in range(4):
+                    np.maximum(codes_all[sl][..., k],
+                               maps["codes"][bi][..., k] * m,
+                               out=codes_all[sl][..., k])
+
+                valid = peaks["valid"][bi]
+                for pi in np.where(valid)[0]:
+                    w = float(peaks["w"][bi, pi])
+                    h = float(peaks["h"][bi, pi])
+                    if w <= 0 or h <= 0 or w > W or h > H:
+                        continue
+                    ix = int(peaks["x"][bi, pi]) * SCALE + x
+                    iy = int(peaks["y"][bi, pi]) * SCALE + y
+                    locations.append(np.array(
+                        [peaks["score"][bi, pi], ix, iy, w, h,
+                         *peaks["codes"][bi, pi]], np.float32))
+                    glyphfeats.append(peaks["feature"][bi, pi])
+
+        if not locations:
+            return DetectedPage(np.zeros((0, 9), np.float32),
+                                np.zeros((0, FEATURE_DIM), np.float32),
+                                lines_all, seps_all)
+        loc = np.stack(locations)
+        feats = np.stack(glyphfeats)
+        loc, feats = self._filter_boxes(loc, feats, img, lines_all, seps_all,
+                                        codes_all)
+        return DetectedPage(loc, feats, lines_all, seps_all)
+
+    def _filter_boxes(self, loc, feats, img, lines_all, seps_all, codes_all):
+        ic = self.cfg.inference
+        H, W = img.shape[:2]
+
+        # histogram-contrast threshold from the median box
+        hists = []
+        for i in range(len(loc)):
+            p, cx, cy, w, h = loc[i, :5]
+            if p < ic.peak_cutoff:
+                continue
+            x0, x1 = int(cx - w / 2) - 1, int(cx + w / 2) + 2
+            y0, y1 = int(cy - h / 2) - 1, int(cy + h / 2) + 2
+            hists.append(image_hist_contrast(
+                img[max(0, y0):y1, max(0, x0):x1]))
+        th_hist = (np.median(hists) / 5) if hists else 0.0
+
+        order = np.argsort(-loc[:, 0])
+        done = np.zeros((0, 4))
+        keep = []
+        for i in order:
+            p, cx, cy, w, h = loc[i, :5]
+            if p < ic.peak_cutoff:
+                break
+            x0 = max(0, int(cx - w / 2))
+            x1 = min(W - 1, int(cx + w / 2) + 1)
+            y0 = max(0, int(cy - h / 2))
+            y1 = min(H - 1, int(cy + h / 2) + 1)
+            if image_hist_contrast(img[y0:y1, x0:x1]) < th_hist:
+                continue
+            if len(done):
+                a0 = w * h
+                a1 = done[:, 2] * done[:, 3]
+                ix0 = np.maximum(cx - w / 2, done[:, 0] - done[:, 2] / 2)
+                iy0 = np.maximum(cy - h / 2, done[:, 1] - done[:, 3] / 2)
+                ix1 = np.minimum(cx + w / 2, done[:, 0] + done[:, 2] / 2)
+                iy1 = np.minimum(cy + h / 2, done[:, 1] + done[:, 3] / 2)
+                iw = np.maximum(ix1 - ix0, 0)
+                ih = np.maximum(iy1 - iy0, 0)
+                inter = iw * ih
+                union = a0 + a1 - inter
+                iou = np.where(union > 0, inter / union, 0)
+                if iou.max() > ic.iou_threshold:
+                    continue
+                if inter.max() > a0 * ic.overlap_threshold:
+                    continue
+                # fill-ratio: union of overlaps covering this box
+                fill = np.zeros((max(1, int(w)), max(1, int(h))), bool)
+                for j in np.where(iou > 0)[0]:
+                    ox0 = int(max(done[j, 0] - done[j, 2] / 2, cx - w / 2)
+                              - (cx - w / 2))
+                    ox1 = int(min(done[j, 0] + done[j, 2] / 2, cx + w / 2)
+                              - (cx - w / 2)) + 1
+                    oy0 = int(max(done[j, 1] - done[j, 3] / 2, cy - h / 2)
+                              - (cy - h / 2))
+                    oy1 = int(min(done[j, 1] + done[j, 3] / 2, cy + h / 2)
+                              - (cy - h / 2)) + 1
+                    fill[ox0:ox1, oy0:oy1] = True
+                if fill.mean() > ic.fill_ratio_threshold:
+                    continue
+            done = np.vstack([done, [cx, cy, w, h]])
+            keep.append(i)
+
+        # separator rejection
+        keep2 = []
+        for i in keep:
+            x = int(loc[i, 1] / SCALE)
+            y = int(loc[i, 2] / SCALE)
+            if 0 <= x < seps_all.shape[1] and 0 <= y < seps_all.shape[0]:
+                if seps_all[y, x] > 0.5:
+                    continue
+            keep2.append(i)
+        if not keep2:
+            return (np.zeros((0, 9), np.float32),
+                    np.zeros((0, FEATURE_DIM), np.float32))
+        keep2 = np.asarray(keep2)
+        loc, feats = loc[keep2], feats[keep2]
+
+        # code probability 3x3 max-pool at each box center
+        mh, mw = codes_all.shape[:2]
+        for i in range(len(loc)):
+            x = int(loc[i, 1] / SCALE)
+            y = int(loc[i, 2] / SCALE)
+            if 0 <= x < mw and 0 <= y < mh:
+                x0, x1 = max(0, x - 1), min(mw, x + 2)
+                y0, y1 = max(0, y - 1), min(mh, y + 2)
+                for k in range(4):
+                    loc[i, 5 + k] = max(codes_all[y0:y1, x0:x1, k].max(),
+                                        loc[i, 5 + k])
+        return loc, feats
+
+    # ------------------------------------------------------------------
+    # stage 2: reading order
+    # ------------------------------------------------------------------
+
+    def run_line_engine(self, page: DetectedPage) -> np.ndarray:
+        le = self.cfg.line_engine
+        params = {
+            "ruby_cutoff": le.ruby_cutoff,
+            "rubybase_cutoff": le.rubybase_cutoff,
+            "space_cutoff": le.space_cutoff,
+            "emphasis_cutoff": le.emphasis_cutoff,
+            "line_valueth": le.line_valueth,
+            "sep_valueth": le.sep_valueth,
+            "allowwidth_next_block": le.allowwidth_next_block,
+            "allow_sizediff": le.allow_sizediff,
+            "page_divide": le.page_divide,
+        }
+        boxes = page.locations[:, 1:]     # cx, cy, w, h, code1..4
+        return lineengine.detect_lines(page.lines, page.seps, boxes, params)
+
+    # ------------------------------------------------------------------
+    # stage 3: feature stream + windowed decode
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def build_feature_stream(detected_boxes: np.ndarray,
+                             glyphfeatures: np.ndarray
+                             ) -> Tuple[np.ndarray, List[Tuple]]:
+        """106-d encoder stream with block/line separator rows.
+
+        Mirrors `/root/reference/process_ocr_base.py:114-174`.
+        """
+        features, feature_idx = [], []
+        prev_block, prev_idx, vertical = 0, 0, 0
+        for rec in detected_boxes:
+            bid, block, idx, subidx, subtype = (int(rec[0]), int(rec[1]),
+                                                int(rec[2]), int(rec[3]),
+                                                int(rec[4]))
+            if bid < 0:
+                continue
+            if prev_block != block:
+                prev_block = block
+                g = np.zeros(ENCODER_DIM, np.float32)
+                g[FEATURE_DIM + 0] = 5 * vertical
+                g[-1] = 5
+                features.append(g)
+                feature_idx.append((-1, -1, -1, -1, -1))
+                prev_idx = -1
+            if prev_idx != idx:
+                prev_idx = idx
+                g = np.zeros(ENCODER_DIM, np.float32)
+                g[FEATURE_DIM + 0] = 5 * vertical
+                g[-1] = 5
+                features.append(g)
+                feature_idx.append((-1, -1, -1, -1, -1))
+
+            ruby = 1 if (subtype & 6) == 6 else 0
+            rubybase = 1 if (subtype & 6) == 2 else 0
+            space = 1 if subtype & 8 else 0
+            emphasis = 1 if subtype & 16 else 0
+            vertical = 1 if subtype & 1 else 0
+
+            g = np.concatenate([
+                glyphfeatures[bid],
+                5 * np.array([vertical, rubybase, ruby, space, emphasis, 0],
+                             np.float32)])
+            features.append(g)
+            feature_idx.append((bid, block, idx, subidx, subtype))
+        if not features:
+            return np.zeros((0, ENCODER_DIM), np.float32), []
+        return np.stack(features), feature_idx
+
+    @staticmethod
+    def split_windows(features: np.ndarray,
+                      max_enc_len: int = MAX_ENCODER_LEN
+                      ) -> List[Tuple[int, int, int, int]]:
+        """Window boundaries (prev_j, cur_i, cur_j, keep_back).
+
+        Same cut rules as the reference's chunked decode loop
+        (`/root/reference/process_ocr_base.py:186-283`): estimated decode
+        length budget, direction change, double newline, ruby-group
+        boundary; overlap re-feed with keep_back dedup.
+        """
+        out = []
+        n = features.shape[0]
+        cur_i, prev_j, keep_back = 0, 0, 0
+        while cur_i < n:
+            r, s = 0, 0
+            for k in range(cur_i, min(cur_i + max_enc_len - 3, n)):
+                if features[k, -3] > 0:
+                    r += 1
+                if s == 0 and features[k, -5] > 0:
+                    r += 3
+                    s = 1
+                elif s == 1 and features[k, -4] > 0:
+                    s = 2
+                elif s == 2 and features[k, -4] == 0:
+                    s = 0
+            cur_j = min(n, cur_i + (max_enc_len - 3 - r))
+            for j in range(cur_i + 1, cur_j):
+                if features[j, -6] != features[cur_i, -6]:
+                    cur_j = j
+                    break
+            if cur_j < n - 1 and cur_i + 1 < cur_j - 1:
+                for j in range(cur_i + 1, cur_j - 1):
+                    if features[j, -1] > 0 and features[j + 1, -1] > 0:
+                        cur_j = j + 2
+                        break
+            if cur_j < n:
+                if cur_j > 1 and features[cur_j - 1, -1] == 0:
+                    for j in reversed(range(cur_i + 1, cur_j)):
+                        if features[j, -4] == 0 and features[j, -5] == 0:
+                            cur_j = j + 1
+                            break
+            if prev_j == cur_j:
+                keep_back = 0
+                cur_i = cur_j
+                continue
+            out.append((prev_j, cur_i, cur_j, keep_back))
+
+            if cur_j >= n:
+                break
+            k = cur_j - 1
+            prev_j = cur_j
+            keep_back = 0
+            while cur_i < k:
+                if features[k, -6] != features[cur_j, -6]:
+                    k += 1
+                    break
+                if features[k, -5] > 0 or features[k, -4] > 0:
+                    k += 1
+                    break
+                if k < cur_j - 1 and features[k, -1] > 0:
+                    k += 1
+                    break
+                if features[k, -3] > 0:
+                    keep_back += 1
+                if k > cur_j - 3:
+                    k -= 1
+                else:
+                    break
+            if cur_i < k:
+                cur_i = k
+                keep_back += cur_j - k
+            else:
+                keep_back = 0
+                cur_i = cur_j
+        return out
+
+    def decode_windows(self, features: np.ndarray,
+                       windows: List[Tuple[int, int, int, int]]
+                       ) -> List[str]:
+        """Batched mask-predict over all windows at once."""
+        if not windows:
+            return []
+        sp = np.zeros(ENCODER_DIM, np.float32)
+        sp[0:FEATURE_DIM:2] = 5
+        sp[1:FEATURE_DIM:2] = -5
+
+        enc_len = self.transformer.dims.max_enc_seq_len
+        batch = np.zeros((len(windows), enc_len, ENCODER_DIM), np.float32)
+        for wi, (_, ci, cj, _) in enumerate(windows):
+            batch[wi, 0] = sp
+            batch[wi, 1:1 + cj - ci] = features[ci:cj]
+            batch[wi, 1 + cj - ci] = -sp
+        codes, _ = self._decode(self.tf_vars, jnp.asarray(batch))
+        codes = np.asarray(codes)
+
+        texts = []
+        for wi in range(len(windows)):
+            out = []
+            for p in codes[wi]:
+                p = int(p)
+                if p == DECODER_SOT:
+                    continue
+                if p in (DECODER_PAD, DECODER_EOT):
+                    break
+                if 0xD800 <= p <= 0xDFFF or p > MAX_CODEPOINT:
+                    out.append("�")
+                else:
+                    out.append(chr(p))
+            texts.append("".join(out))
+        return texts
+
+    # ------------------------------------------------------------------
+    # stage 4: assembly
+    # ------------------------------------------------------------------
+
+    def assemble(self, locations, feature_idx, windows, texts,
+                 resize: float = 1.0) -> Dict:
+        outdict = {"box": [], "line": [], "block": [], "text": ""}
+        result_txt = ""
+        linebuf = []
+        for (prev_j, ci, cj, keep_back), txt in zip(windows, texts):
+            kept = txt[keep_back:]
+            result_txt += kept
+            linebuf.append((prev_j, cj, kept))
+
+        lx1 = ly1 = lx2 = ly2 = -2000.0
+        line_text = ""
+        blockidx = lineidx = 0
+
+        def flush_line():
+            nonlocal lx1, ly1, lx2, ly2, line_text
+            if line_text:
+                outdict["line"].append({
+                    "x1": float(lx1 / resize), "y1": float(ly1 / resize),
+                    "x2": float(lx2 / resize), "y2": float(ly2 / resize),
+                    "blockidx": blockidx, "lineidx": lineidx,
+                    "text": line_text,
+                    "aozora": decode_ruby(line_text, "aozora"),
+                    "noruby": decode_ruby(line_text, "noruby"),
+                })
+            lx1 = ly1 = lx2 = ly2 = -2000.0
+            line_text = ""
+
+        for prev_j, cur_j, predstr in linebuf:
+            k_iter = iter(range(prev_j, cur_j))
+            try:
+                k = next(k_iter)
+                for c in predstr:
+                    if c in ("￹", "￺", "￻"):
+                        line_text += c
+                        continue
+                    if feature_idx[k][0] < 0 or c == "\n":
+                        flush_line()
+                        while feature_idx[k][0] < 0:
+                            k = next(k_iter)
+                        if c == "\n":
+                            continue
+                    if c in UNICODE_WHITESPACE:
+                        line_text += c
+                        continue
+                    bid, blockidx, lineidx, subidx, subtype = feature_idx[k]
+                    loc = locations[bid]
+                    cx, cy, w, h = loc[1:5]
+                    ruby = 1 if (subtype & 6) == 6 else 0
+                    rubybase = 1 if (subtype & 6) == 2 else 0
+                    emphasis = 1 if subtype & 16 else 0
+                    vertical = 1 if subtype & 1 else 0
+                    if ruby == 0:
+                        lx1 = cx - w / 2 if lx1 < -1000 else min(lx1, cx - w / 2)
+                        lx2 = cx + w / 2 if lx2 < -1000 else max(lx2, cx + w / 2)
+                        ly1 = cy - h / 2 if ly1 < -1000 else min(ly1, cy - h / 2)
+                        ly2 = cy + h / 2 if ly2 < -1000 else max(ly2, cy + h / 2)
+                    line_text += c
+                    outdict["box"].append({
+                        "cx": float(cx / resize), "cy": float(cy / resize),
+                        "w": float(w / resize), "h": float(h / resize),
+                        "text": c, "blockidx": blockidx, "lineidx": lineidx,
+                        "subidx": subidx, "ruby": ruby,
+                        "rubybase": rubybase, "emphasis": emphasis,
+                        "vertical": vertical,
+                    })
+                    k = next(k_iter)
+            except StopIteration:
+                pass
+        flush_line()
+
+        # blocks: aggregate line entries
+        by_block: Dict[int, List[dict]] = {}
+        for li in outdict["line"]:
+            by_block.setdefault(li["blockidx"], []).append(li)
+        for b, lis in sorted(by_block.items()):
+            outdict["block"].append({
+                "blockidx": b,
+                "x1": min(li["x1"] for li in lis),
+                "y1": min(li["y1"] for li in lis),
+                "x2": max(li["x2"] for li in lis),
+                "y2": max(li["y2"] for li in lis),
+                "text": "\n".join(li["text"] for li in lis),
+            })
+        outdict["text"] = result_txt
+        return outdict
+
+    # ------------------------------------------------------------------
+
+    def __call__(self, image: np.ndarray, resize: float = 1.0) -> Dict:
+        """Full OCR of an RGB uint8 page image."""
+        if resize != 1.0:
+            from PIL import Image as PILImage
+            pim = PILImage.fromarray(image)
+            pim = pim.resize((int(pim.width * resize),
+                              int(pim.height * resize)),
+                             PILImage.Resampling.BILINEAR)
+            image = np.asarray(pim)
+        page = self.run_detector(image)
+        if len(page.locations) == 0:
+            return {"box": [], "line": [], "block": [], "text": ""}
+        detected = self.run_line_engine(page)
+        features, feature_idx = self.build_feature_stream(
+            detected, page.features)
+        windows = self.split_windows(
+            features, self.transformer.dims.max_enc_seq_len)
+        texts = self.decode_windows(features, windows)
+        return self.assemble(page.locations, feature_idx, windows, texts,
+                             resize)
+
+
+def ocr_file(path: str, pipeline: OCRPipeline, resize: float = 1.0,
+             save_json: bool = True) -> Dict:
+    from PIL import Image as PILImage
+    img = np.asarray(PILImage.open(path).convert("RGB"))
+    out = pipeline(img, resize)
+    if save_json:
+        with open(path + ".json", "w", encoding="utf-8") as f:
+            json.dump(out, f, ensure_ascii=False, indent=1)
+    return out

@@ -1,0 +1,75 @@
+"""CLI: page OCR. Equivalent of the reference's ``run_ocr.py``.
+
+Usage:
+    python -m findtextcenternet_tpu.infer.run_ocr [--resize=F]
+        [--model-size=xl] [--model-pt=path] [--model3-pt=path]
+        [--random-weights] [--tiny] images...
+
+Weights: by default looks for ``model.pt`` / ``model3.pt`` in the CWD and
+imports them (`io/torch_import.py`); ``--random-weights`` runs the full
+pipeline with randomly initialized weights (smoke/benchmark mode).
+"""
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import sys
+
+from ..config import Config
+from ..utils.text import decode_ruby
+from .pipeline import OCRPipeline, ocr_file
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    resize = 1.0
+    model_size = "xl"
+    model_pt, model3_pt = "model.pt", "model3.pt"
+    random_weights = False
+    files = []
+    for a in argv:
+        if a.startswith("--resize="):
+            resize = float(a.split("=", 1)[1])
+        elif a.startswith("--model-size="):
+            model_size = a.split("=", 1)[1]
+        elif a.startswith("--model-pt="):
+            model_pt = a.split("=", 1)[1]
+        elif a.startswith("--model3-pt="):
+            model3_pt = a.split("=", 1)[1]
+        elif a == "--random-weights":
+            random_weights = True
+        elif a == "--tiny":
+            model_size = "tiny"
+            random_weights = True
+        else:
+            files.extend(glob.glob(a))
+
+    if not files:
+        print(__doc__)
+        return 1
+
+    cfg = Config()
+    if model_size != cfg.detector.model_size:
+        cfg = dataclasses.replace(
+            cfg, detector=dataclasses.replace(
+                cfg.detector, model_size=model_size))
+
+    if not random_weights and os.path.exists(model_pt) and \
+            os.path.exists(model3_pt):
+        pipeline = OCRPipeline.from_torch_checkpoints(
+            model_pt, model3_pt, cfg, model_size)
+        print(f"loaded weights: {model_pt}, {model3_pt}")
+    else:
+        pipeline = OCRPipeline(cfg, model_size=model_size)
+        print("using random weights (smoke mode)")
+
+    for f in files:
+        print(f"== {f}")
+        out = ocr_file(f, pipeline, resize)
+        print(decode_ruby(out["text"], "aozora"))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

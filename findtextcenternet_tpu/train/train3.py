@@ -1,0 +1,169 @@
+"""Stage-3 training driver: the text transformer.
+
+Equivalent of `/root/reference/train3.py` on TPU: pjit data-parallel,
+schedule-free RAdam, the feature-noise curriculum (noise 1.0 until val
+loss < 2.0, then x0.9 per epoch), per-epoch sample decode logging, orbax
+checkpointing.
+
+Usage:
+    python -m findtextcenternet_tpu.train.train3 \
+        --features=train_data3/features.npz --texts='train_data3/*/*.txt' \
+        --batch-size=256 --steps-per-epoch=1000 --checkpoint-dir=result3
+"""
+from __future__ import annotations
+
+import sys
+
+
+def build_transformer_state(config, mesh=None, seed: int = 0,
+                            shard_tp: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import Transformer, TransformerDims
+    from .state import create_train_state, make_schedule_free_radam
+
+    t = config.transformer
+    dims = TransformerDims(
+        enc_input_dim=t.enc_input_dim, embed_dim=t.embed_dim,
+        head_num=t.head_num, enc_block_num=t.enc_block_num,
+        dec_block_num=t.dec_block_num, max_enc_seq_len=t.max_enc_seq_len,
+        max_dec_seq_len=t.max_dec_seq_len, dropout=t.dropout)
+    model = Transformer(dims)
+    enc = jnp.zeros((1, dims.max_enc_seq_len, dims.enc_input_dim))
+    dec = jnp.zeros((1, dims.max_dec_seq_len), jnp.int32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(seed), enc, dec)
+    tx = make_schedule_free_radam(config.train.learning_rate)
+    if mesh is not None:
+        if shard_tp:
+            from ..parallel import shard_params
+            variables = {"params": shard_params(variables["params"], mesh)}
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            variables = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P())),
+                variables)
+    return model, create_train_state(model.apply, variables, tx)
+
+
+def train(features_npz=None, text_files=(), config=None,
+          steps_per_epoch: int = 1000, val_steps: int = 20,
+          resume: bool = True, synthetic_bank: bool = False):
+    import jax
+    import numpy as np
+
+    from ..config import Config
+    from ..data.transformer_data import FeatureBank, TransformerDataset
+    from ..models.transformer import mask_predict
+    from ..parallel import make_mesh, shard_batch
+    from ..utils.text import codes_to_text
+    from . import checkpoint as ckpt
+    from .metrics import MetricLogger, RunningMetrics
+    from .steps import transformer_eval_step, transformer_train_step
+
+    config = config or Config()
+    tc = config.train
+    mesh = make_mesh(n_model=1)
+    model, state = build_transformer_state(config, mesh, tc.seed)
+
+    if resume:
+        latest = ckpt.latest_checkpoint(tc.checkpoint_dir)
+        if latest:
+            state = ckpt.restore_checkpoint(latest, state)
+            print(f"resumed from {latest} at step {int(state.step)}")
+
+    if synthetic_bank or not features_npz:
+        bank = FeatureBank.synthetic(
+            list(range(0x3041, 0x3097)) + list(range(0x4E00, 0x4F00)),
+            seed=tc.seed)
+    else:
+        bank = FeatureBank.load(features_npz)
+
+    train_ds = TransformerDataset(bank, text_files, noise_ratio=1.0,
+                                  seed=tc.seed)
+    val_ds = TransformerDataset(bank, text_files, noise_ratio=0.0,
+                                seed=tc.seed + 99)
+
+    train_step = jax.jit(transformer_train_step)
+    eval_step = jax.jit(transformer_eval_step)
+
+    logger = MetricLogger(f"{tc.checkpoint_dir}/logs")
+    running = RunningMetrics()
+    it = train_ds.batches(tc.batch_size)
+    vit = val_ds.batches(tc.batch_size)
+
+    curriculum_started = False
+    start_epoch = int(state.step) // steps_per_epoch
+    for epoch in range(start_epoch, tc.epochs):
+        for _ in range(steps_per_epoch):
+            batch = {k: v for k, v in next(it).items()}
+            state, metrics = train_step(state, shard_batch(batch, mesh))
+            running.update(metrics)
+            if int(state.step) % tc.log_every == 0:
+                logger.log(int(state.step), running.summary())
+                running.reset()
+
+        path = ckpt.save_checkpoint(tc.checkpoint_dir, state, config)
+        print(f"epoch {epoch}: saved {path}")
+
+        vrun = RunningMetrics()
+        for _ in range(val_steps):
+            vrun.update(eval_step(state, shard_batch(next(vit), mesh)))
+        vs = vrun.summary()
+        logger.log(int(state.step), vs, prefix="val")
+
+        # noise curriculum (`/root/reference/train3.py:153-156,265-266`)
+        if not curriculum_started and vs.get("loss", 1e9) < 2.0:
+            curriculum_started = True
+        if curriculum_started:
+            train_ds.noise_ratio *= 0.9
+            print(f"noise_ratio -> {train_ds.noise_ratio:.4f}")
+
+        # sample decode for qualitative tracking
+        item = val_ds.sample()
+        codes, _ = jax.jit(lambda p, e: mask_predict(model, p, e))(
+            {"params": state.eval_params()},
+            item["encoder_input"][None])
+        pred = codes_to_text(np.asarray(codes)[0])
+        logger.log_text(int(state.step), "sample",
+                        f"true: {item['text']!r}\npred: {pred!r}")
+        print(f"true: {item['text'][:60]!r}\npred: {pred[:60]!r}")
+    return state
+
+
+def main(argv=None):
+    import dataclasses as dc
+    import glob
+
+    from ..config import Config
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    kw = {}
+    cfg = Config()
+    for a in argv:
+        if a.startswith("--features="):
+            kw["features_npz"] = a.split("=", 1)[1]
+        elif a.startswith("--texts="):
+            kw["text_files"] = sorted(glob.glob(a.split("=", 1)[1]))
+        elif a == "--synthetic-bank":
+            kw["synthetic_bank"] = True
+        elif a.startswith("--batch-size="):
+            cfg = dc.replace(cfg, train=dc.replace(
+                cfg.train, batch_size=int(a.split("=", 1)[1])))
+        elif a.startswith("--epochs="):
+            cfg = dc.replace(cfg, train=dc.replace(
+                cfg.train, epochs=int(a.split("=", 1)[1])))
+        elif a.startswith("--lr="):
+            cfg = dc.replace(cfg, train=dc.replace(
+                cfg.train, learning_rate=float(a.split("=", 1)[1])))
+        elif a.startswith("--checkpoint-dir="):
+            cfg = dc.replace(cfg, train=dc.replace(
+                cfg.train, checkpoint_dir=a.split("=", 1)[1]))
+        elif a.startswith("--steps-per-epoch="):
+            kw["steps_per_epoch"] = int(a.split("=", 1)[1])
+    train(config=cfg, **kw)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,79 @@
+"""End-to-end OCR pipeline smoke on a synthetic page with a tiny model."""
+import numpy as np
+import pytest
+
+from findtextcenternet_tpu.config import Config
+import dataclasses
+
+from findtextcenternet_tpu.infer import lineengine
+from findtextcenternet_tpu.infer.pipeline import (
+    OCRPipeline, image_hist_contrast,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    if not lineengine.build_native():
+        pytest.skip("native line engine not buildable")
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        detector=dataclasses.replace(cfg.detector, model_size="tiny"),
+        transformer=dataclasses.replace(
+            cfg.transformer, embed_dim=32, head_num=4, enc_block_num=1,
+            dec_block_num=1, max_enc_seq_len=24, max_dec_seq_len=24),
+        inference=dataclasses.replace(
+            cfg.inference, tile_size=256, detector_batch=2,
+            max_peaks_per_tile=64),
+        mask_predict=dataclasses.replace(
+            cfg.mask_predict, max_rounds=2),
+    )
+    return OCRPipeline(cfg, model_size="tiny")
+
+
+def test_image_hist_contrast():
+    flat = np.full((20, 20, 3), 128, np.uint8)
+    assert image_hist_contrast(flat) == 0.0
+    contrasty = np.zeros((20, 20, 3), np.uint8)
+    contrasty[5:15, 5:15] = 255
+    assert image_hist_contrast(contrasty) > 100
+
+
+def test_full_pipeline_runs(tiny_pipeline):
+    rng = np.random.default_rng(0)
+    img = np.full((300, 500, 3), 255, np.uint8)
+    # black squares as fake characters
+    for i in range(5):
+        x = 60 + 70 * i
+        img[100:140, x:x + 40] = 0
+    out = tiny_pipeline(img)
+    assert set(out) == {"box", "line", "block", "text"}
+    # random weights: no guarantee about text, but structure must hold
+    assert isinstance(out["text"], str)
+
+
+def test_split_windows_respects_direction_change():
+    from findtextcenternet_tpu.const import ENCODER_DIM
+    feats = np.zeros((10, ENCODER_DIM), np.float32)
+    feats[:, 0] = 1.0  # non-padding
+    feats[5:, -6] = 5.0  # direction flips at 5
+    windows = OCRPipeline.split_windows(feats)
+    assert windows[0][2] == 5  # first window cut at the direction change
+
+
+def test_build_feature_stream_separators():
+    det = np.array([
+        # id, block, idx, subidx, subtype, page, section
+        [0, 0, 0, 0, 0, 0, 0],
+        [1, 0, 0, 1, 0, 0, 0],
+        [2, 0, 1, 0, 0, 0, 0],   # new line -> separator row
+        [3, 1, 0, 0, 0, 0, 0],   # new block -> separator row
+    ], np.int32)
+    feats = np.ones((4, 100), np.float32)
+    stream, fidx = OCRPipeline.build_feature_stream(det, feats)
+    # 4 boxes + 1 line sep + 2 block/line seps = 7 rows
+    assert stream.shape[0] == 7
+    sep_rows = [i for i, f in enumerate(fidx) if f[0] < 0]
+    assert len(sep_rows) == 3
+    for i in sep_rows:
+        assert stream[i, -1] == 5.0
