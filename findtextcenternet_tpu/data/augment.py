@@ -76,9 +76,12 @@ def transform_crop(
     rng: np.random.Generator,
     out_hw: Tuple[int, int] = (IMAGE_HEIGHT, IMAGE_WIDTH),
     scale: int = SCALE,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    return_positions: bool = False,
+):
     """Random affine + crop; returns (image[h,w] f32 in [0,1],
-    labelmap (h/s, w/s, 5), idmap (h/s, w/s, 2), minsize)."""
+    labelmap (h/s, w/s, 5), idmap (h/s, w/s, 2), minsize) and, when
+    ``return_positions``, the transformed (N, 4) box array in crop
+    coordinates as a fifth element."""
     out_h, out_w = out_hw
     mh, mw = out_h // scale, out_w // scale
     im_h, im_w = image.shape
@@ -164,6 +167,9 @@ def transform_crop(
 
     labelmap = np.concatenate(
         [keysize, line[..., None], seps[..., None]], axis=-1)
+    if return_positions:
+        return (out_img.astype(np.float32), labelmap.astype(np.float32),
+                idmap, minsize, pos.astype(np.float32))
     return out_img.astype(np.float32), labelmap.astype(np.float32), idmap, \
         minsize
 

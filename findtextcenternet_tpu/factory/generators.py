@@ -1,0 +1,218 @@
+"""Random page generators for the synthetic-data factory.
+
+Weighted page-kind mix mirroring ``get_random_text``
+(`/root/reference/make_traindata/render_font/generate_random_txt.py:
+1025-1061`): furigana text, plain textlines, random character pages,
+word pages, grid tables, scatter pages, headers, warichu — rendered with
+system/user fonts through the Canvas typesetter.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .layout import Canvas
+from .rasterizer import GlyphRasterizer, find_fonts
+
+# character pools (extended by the caller's corpus / font coverage)
+HIRAGANA = "".join(chr(c) for c in range(0x3041, 0x3097))
+KATAKANA = "".join(chr(c) for c in range(0x30A1, 0x30FB))
+ASCII = "".join(chr(c) for c in range(0x21, 0x7F))
+KANJI_COMMON = "".join(chr(c) for c in range(0x4E00, 0x4F80))
+HANGUL = "".join(chr(c) for c in range(0xAC00, 0xAC80))
+
+
+class PageGenerator:
+    """Random synthetic pages with exact boxes and maps."""
+
+    def __init__(self, font_paths: Optional[Sequence[str]] = None,
+                 width: int = 1600, height: int = 1600,
+                 charset: Optional[str] = None, seed: int = 0,
+                 corpus_texts: Sequence[str] = ()):
+        self.fonts = list(font_paths) if font_paths else find_fonts()
+        if not self.fonts:
+            raise RuntimeError("no fonts found; pass font_paths")
+        self.width = width
+        self.height = height
+        self.rng = np.random.default_rng(seed)
+        self.corpus = list(corpus_texts)
+        self._charset = charset
+        self._coverage: Dict[str, str] = {}
+
+    def _rast(self, size: int, bold=False, italic=False) -> GlyphRasterizer:
+        path = self.fonts[int(self.rng.integers(len(self.fonts)))]
+        return GlyphRasterizer(path, size, bold=bold, italic=italic)
+
+    def _chars_for(self, rast: GlyphRasterizer) -> str:
+        """Characters the chosen font can actually render."""
+        if self._charset is not None:
+            return self._charset
+        key = rast.font_path
+        if key not in self._coverage:
+            pool = HIRAGANA + KATAKANA + ASCII + KANJI_COMMON
+            covered = "".join(c for c in pool if rast.has_glyph(c))
+            self._coverage[key] = covered or ASCII
+        return self._coverage[key]
+
+    def _random_string(self, chars: str, n: int) -> str:
+        idx = self.rng.integers(0, len(chars), n)
+        return "".join(chars[i] for i in idx)
+
+    def _random_furigana_text(self, chars: str, groups: int) -> str:
+        kana = [c for c in chars if "ぁ" <= c <= "ヿ"] or list(chars)
+        kanji = [c for c in chars if "一" <= c <= "鿿"] or list(chars)
+        out = []
+        for _ in range(groups):
+            r = self.rng.uniform()
+            if r < 0.35:
+                base = "".join(kanji[int(self.rng.integers(len(kanji)))]
+                               for _ in range(int(self.rng.integers(1, 3))))
+                ruby = "".join(kana[int(self.rng.integers(len(kana)))]
+                               for _ in range(int(self.rng.integers(1, 5))))
+                out.append(f"￹{base}￺{ruby}￻")
+            elif r < 0.9:
+                out.append(self._random_string("".join(kana),
+                                               int(self.rng.integers(1, 8))))
+            else:
+                out.append("\n")
+        return "".join(out)
+
+    def _corpus_text(self, n: int) -> Optional[str]:
+        if not self.corpus:
+            return None
+        t = self.corpus[int(self.rng.integers(len(self.corpus)))]
+        if len(t) <= n:
+            return t
+        start = int(self.rng.integers(len(t) - n))
+        return t[start:start + n]
+
+    # ------------------------------------------------------------------
+
+    def generate(self, kind: Optional[str] = None) -> Dict[str, np.ndarray]:
+        """One random page. kind: None (weighted random) or one of
+        furigana / textline / chars / words / grid / scatter / handwriting.
+        """
+        rng = self.rng
+        if kind is None:
+            r = rng.uniform()
+            if r < 0.15:
+                kind = "furigana"
+            elif r < 0.30:
+                kind = "textline"
+            elif r < 0.60:
+                kind = "chars"
+            elif r < 0.70:
+                kind = "words"
+            elif r < 0.80:
+                kind = "grid"
+            elif r < 0.90:
+                kind = "scatter"
+            else:
+                kind = "mixed"
+
+        canvas = Canvas(self.width, self.height, rng)
+        size = int(rng.integers(24, 72))
+        bold = rng.uniform() < 0.1
+        italic = rng.uniform() < 0.1
+        rast = self._rast(size, bold, italic)
+        ruby_rast = GlyphRasterizer(rast.font_path, max(8, size // 2),
+                                    bold=bold, italic=italic)
+        chars = self._chars_for(rast)
+        vertical = rng.uniform() < 0.4
+
+        if kind == "furigana":
+            text = self._random_furigana_text(chars, int(rng.integers(8, 60)))
+            self._flow(canvas, text, rast, ruby_rast, vertical)
+        elif kind == "textline":
+            text = self._corpus_text(800) or \
+                self._random_string(chars, int(rng.integers(100, 600)))
+            self._flow(canvas, text, rast, ruby_rast, vertical)
+        elif kind == "chars":
+            text = self._random_string(chars, int(rng.integers(100, 800)))
+            self._flow(canvas, text, rast, ruby_rast, vertical)
+        elif kind == "words":
+            words = [self._random_string(chars, int(rng.integers(2, 9)))
+                     for _ in range(int(rng.integers(20, 80)))]
+            self._flow(canvas, " ".join(words), rast, ruby_rast, False)
+        elif kind == "grid":
+            canvas.random_grid(chars, rast,
+                               rows=int(rng.integers(3, 8)),
+                               cols=int(rng.integers(3, 10)))
+        elif kind == "scatter":
+            canvas.random_scatter(chars, rast,
+                                  count=int(rng.integers(20, 80)))
+        else:  # mixed: header + body + warichu
+            canvas.header(self._random_string(chars, 12), rast)
+            text = self._random_string(chars, int(rng.integers(80, 400)))
+            self._flow(canvas, text, rast, ruby_rast, vertical, margin=3.0)
+            canvas.warichu(self._random_string(chars, 8), ruby_rast,
+                           self.width * 0.3, self.height * 0.8,
+                           self.width * 0.3)
+
+        return canvas.result()
+
+    def _flow(self, canvas: Canvas, text: str, rast, ruby_rast, vertical,
+              margin: float = 1.5):
+        size = rast.size
+        if vertical:
+            origin = (self.width - size * margin, size * margin)
+            extent = self.height - 2 * margin * size
+        else:
+            origin = (size * margin, size * margin)
+            extent = self.width - 2 * margin * size
+        canvas.typeset(text, rast, origin, extent, vertical=vertical,
+                       ruby_rast=ruby_rast)
+
+
+def make_shards(out_pattern: str, count: int, generator: PageGenerator,
+                samples_per_shard: int = 100, processes: int = 0):
+    """Render ``count`` pages into WebDataset-compatible tar shards
+    (`/root/reference/make_traindata/make_traindata1.py` equivalent;
+    map resolution halved like the reference)."""
+    from ..data.shards import ShardWriter
+
+    def render(i):
+        page = generator.generate()
+        return {
+            "__key__": f"{i:08d}",
+            "txt": page["text"],
+            "image.png": page["image"],
+            "textline.png": page["textline"],
+            "sepline.png": page["sepline"],
+            "position.npy": page["position"],
+            "code_list.npy": page["code_list"],
+        }
+
+    with ShardWriter(out_pattern, samples_per_shard) as w:
+        if processes and processes > 1:
+            import multiprocessing as mp
+            with mp.get_context("fork").Pool(processes) as pool:
+                for s in pool.imap_unordered(_render_worker,
+                                             [(generator, i)
+                                              for i in range(count)]):
+                    if s is not None:
+                        w.write(s)
+        else:
+            for i in range(count):
+                w.write(render(i))
+        return list(w.paths)
+
+
+def _render_worker(args):
+    generator, i = args
+    try:
+        page = generator.generate()
+        return {
+            "__key__": f"{i:08d}",
+            "txt": page["text"],
+            "image.png": page["image"],
+            "textline.png": page["textline"],
+            "sepline.png": page["sepline"],
+            "position.npy": page["position"],
+            "code_list.npy": page["code_list"],
+        }
+    except Exception as e:  # worker resilience like the reference
+        print("render error:", e, flush=True)
+        return None

@@ -1,0 +1,393 @@
+"""Page layout engine (typesetter) for the synthetic-data factory.
+
+Fresh design covering the reference ``Canvas``'s capabilities
+(`/root/reference/make_traindata/render_font/renderer.py:106-2558`):
+horizontal & vertical text flow with line-break prohibition rules, ruby
+(furigana) at half size, emphasis dots, warichu (inline two-row notes),
+headers/footers with separator rules, multi-column sections, random
+scatter and table-grid layouts. Emits the training sample contract:
+``{text, image (H,W) u8, position (N,4), code_list (N,2), textline_image,
+sep_image (both half resolution)}``.
+
+code_list flag bits: 1=ruby text, 2=ruby base, 4=emphasis, 8=space-after.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .rasterizer import Glyph, GlyphRasterizer
+
+# line-break prohibition (kinsoku shori)
+LINE_START_FORBID = set("、。，．・：；？！ゝゞヽヾ々ぁぃぅぇぉっゃゅょ"
+                        "ァィゥェォッャュョ」』）〕｝〉》〙〗]'\"!?,.;:")
+LINE_END_FORBID = set("「『（〔｛〈《〘〖[('\"")
+
+RUBY_BASE, RUBY_TEXT, RUBY_END = "￹", "￺", "￻"
+
+
+@dataclasses.dataclass
+class CharBox:
+    cx: float
+    cy: float
+    w: float
+    h: float
+    code: int
+    flags: int
+
+
+class Canvas:
+    """Accumulates glyph ink + per-character boxes + line/separator maps."""
+
+    def __init__(self, width: int, height: int,
+                 rng: Optional[np.random.Generator] = None,
+                 map_scale: int = 2):
+        self.width = width
+        self.height = height
+        self.map_scale = map_scale
+        self.rng = rng or np.random.default_rng()
+        self.image = np.zeros((height, width), np.float32)
+        mh, mw = height // map_scale, width // map_scale
+        self.textline = np.zeros((mh, mw), np.uint8)
+        self.sepline = np.zeros((mh, mw), np.uint8)
+        self.boxes: List[CharBox] = []
+        self.text_parts: List[str] = []
+
+    # ------------------------------------------------------------------
+    # low-level ink
+    # ------------------------------------------------------------------
+
+    def _blit(self, g: Glyph, pen_x: float, pen_y: float) -> Optional[Tuple]:
+        if g.bitmap.size == 0:
+            return None
+        x0 = int(round(pen_x + g.offset_x))
+        y0 = int(round(pen_y + g.offset_y))
+        h, w = g.bitmap.shape
+        x1, y1 = x0 + w, y0 + h
+        sx0, sy0 = max(0, -x0), max(0, -y0)
+        x0, y0 = max(0, x0), max(0, y0)
+        x1, y1 = min(self.width, x1), min(self.height, y1)
+        if x1 <= x0 or y1 <= y0:
+            return None
+        sub = g.bitmap[sy0:sy0 + (y1 - y0), sx0:sx0 + (x1 - x0)]
+        region = self.image[y0:y1, x0:x1]
+        np.maximum(region, sub, out=region)
+        return (x0, y0, x1, y1)
+
+    def _record(self, bbox, code: int, flags: int):
+        x0, y0, x1, y1 = bbox
+        self.boxes.append(CharBox((x0 + x1) / 2, (y0 + y1) / 2,
+                                  x1 - x0, y1 - y0, code, flags))
+
+    def _mark_textline(self, x0, y0, x1, y1):
+        s = self.map_scale
+        mx0, my0 = max(0, int(x0 / s)), max(0, int(y0 / s))
+        mx1 = min(self.textline.shape[1], int(np.ceil(x1 / s)))
+        my1 = min(self.textline.shape[0], int(np.ceil(y1 / s)))
+        if mx1 > mx0 and my1 > my0:
+            self.textline[my0:my1, mx0:mx1] = 255
+
+    def draw_separator(self, x0, y0, x1, y1, paint_ink: bool = True):
+        """A ruled line: ink + separator map."""
+        if paint_ink:
+            ix0, iy0 = max(0, int(x0)), max(0, int(y0))
+            ix1 = min(self.width, int(x1) + 1)
+            iy1 = min(self.height, int(y1) + 1)
+            if ix1 > ix0 and iy1 > iy0:
+                self.image[iy0:iy1, ix0:ix1] = np.maximum(
+                    self.image[iy0:iy1, ix0:ix1], 1.0)
+        s = self.map_scale
+        mx0, my0 = max(0, int(x0 / s)), max(0, int(y0 / s))
+        mx1 = min(self.sepline.shape[1], int(x1 / s) + 1)
+        my1 = min(self.sepline.shape[0], int(y1 / s) + 1)
+        if mx1 > mx0 and my1 > my0:
+            self.sepline[my0:my1, mx0:mx1] = 255
+
+    # ------------------------------------------------------------------
+    # text flow
+    # ------------------------------------------------------------------
+
+    def _parse_ruby(self, text: str):
+        """Split into segments: (kind, payload); kind 'plain' or 'ruby'."""
+        segs = []
+        i = 0
+        while i < len(text):
+            j = text.find(RUBY_BASE, i)
+            if j < 0:
+                segs.append(("plain", text[i:]))
+                break
+            if j > i:
+                segs.append(("plain", text[i:j]))
+            k = text.find(RUBY_TEXT, j)
+            l = text.find(RUBY_END, k) if k >= 0 else -1
+            if k < 0 or l < 0:
+                segs.append(("plain", text[j + 1:]))
+                break
+            segs.append(("ruby", (text[j + 1:k], text[k + 1:l])))
+            i = l + 1
+        return [s for s in segs if s[1]]
+
+    def draw_line(self, text: str, rast: GlyphRasterizer, x: float,
+                  y: float, vertical: bool = False,
+                  emphasis: bool = False,
+                  ruby_rast: Optional[GlyphRasterizer] = None
+                  ) -> float:
+        """Typeset one line starting at pen (x, y); returns the pen advance
+        along the reading direction. Supports ruby markers."""
+        size = rast.size
+        pen = y if vertical else x
+        start = pen
+        space_pending = False
+        ink_lo, ink_hi = None, None
+
+        def put(ch, r: GlyphRasterizer, lateral_off=0.0, flags=0,
+                record=True):
+            nonlocal pen, space_pending, ink_lo, ink_hi
+            if ch == " " or ch == "　":
+                pen += r.size * (0.5 if ch == " " else 1.0)
+                space_pending = True
+                return
+            g = r.glyph(ch, vertical)
+            if g is None:
+                return
+            if vertical:
+                px, py = x + lateral_off, pen
+                if HASATTR_TTB and g.bitmap.size:
+                    bbox = self._blit(g, px, py)
+                else:
+                    # manual vertical: center the horizontal glyph in the em
+                    bx = px - (g.bitmap.shape[1] / 2 if g.bitmap.size else 0)
+                    bbox = self._blit(
+                        Glyph(g.bitmap, 0, 0, g.advance), bx, py)
+                adv = r.size * 1.05
+            else:
+                px, py = pen, y + lateral_off
+                bbox = self._blit(g, px, py)
+                adv = g.advance * 1.02
+            if bbox and record:
+                f = flags
+                if space_pending:
+                    f |= 8
+                self._record(bbox, ord(ch), f)
+                space_pending = False
+                lo = bbox[1] if not vertical else bbox[0]
+                hi = bbox[3] if not vertical else bbox[2]
+                ink_lo = lo if ink_lo is None else min(ink_lo, lo)
+                ink_hi = hi if ink_hi is None else max(ink_hi, hi)
+            pen += adv
+
+        rr = ruby_rast
+        for kind, payload in self._parse_ruby(text):
+            if kind == "plain":
+                for ch in payload:
+                    base_flags = 4 if emphasis else 0
+                    put(ch, rast, flags=base_flags)
+                    if emphasis and ch.strip():
+                        # emphasis dot beside the char (no box recorded)
+                        if rr is not None:
+                            dg = rr.glyph("・", vertical)
+                            if dg is not None and dg.bitmap.size:
+                                if vertical:
+                                    self._blit(dg, x + size * 0.7,
+                                               pen - size)
+                                else:
+                                    self._blit(dg, pen - size,
+                                               y - size * 0.7)
+            else:
+                base, ruby = payload
+                if rr is None:
+                    for ch in base:
+                        put(ch, rast, flags=2)
+                    continue
+                base_start = pen
+                for ch in base:
+                    put(ch, rast, flags=2)
+                base_end = pen
+                # ruby run above (horizontal) / right (vertical)
+                span = base_end - base_start
+                rsize = rr.size
+                need = len(ruby) * rsize
+                rpen = base_start + max(0.0, (span - need) / 2)
+                for ch in ruby:
+                    g = rr.glyph(ch, vertical)
+                    if g is None:
+                        continue
+                    if vertical:
+                        bbox = self._blit(g, x + size * 0.75, rpen)
+                    else:
+                        bbox = self._blit(g, rpen, y - size * 0.55)
+                    if bbox:
+                        self._record(bbox, ord(ch), 1 | 2)
+                    rpen += rsize
+
+        # textline band over the rendered ink
+        if ink_lo is not None:
+            if vertical:
+                self._mark_textline(ink_lo, start, ink_hi, pen)
+            else:
+                self._mark_textline(start, ink_lo, pen, ink_hi)
+        self.text_parts.append(text)
+        return pen - start
+
+    def typeset(self, text: str, rast: GlyphRasterizer,
+                origin: Tuple[float, float], extent: float,
+                vertical: bool = False, line_spacing: float = 1.6,
+                max_lines: Optional[int] = None,
+                ruby_rast: Optional[GlyphRasterizer] = None) -> int:
+        """Flow text into lines of at most ``extent`` px with kinsoku.
+
+        Returns the number of lines drawn. Vertical text flows columns
+        right-to-left starting at origin (x is the first column).
+        """
+        size = rast.size
+        lines = self._wrap(text, extent, size)
+        n = 0
+        x0, y0 = origin
+        for li, line in enumerate(lines):
+            if max_lines is not None and n >= max_lines:
+                break
+            if vertical:
+                cx = x0 - li * size * line_spacing
+                if cx < size:
+                    break
+                self.draw_line(line, rast, cx, y0, vertical=True,
+                               ruby_rast=ruby_rast)
+            else:
+                cy = y0 + li * size * line_spacing
+                if cy > self.height - size:
+                    break
+                self.draw_line(line, rast, x0, cy, vertical=False,
+                               ruby_rast=ruby_rast)
+            n += 1
+            self.text_parts.append("\n")
+        return n
+
+    @staticmethod
+    def _wrap(text: str, extent: float, size: float) -> List[str]:
+        out = []
+        per_line = max(1, int(extent / (size * 1.05)))
+        for para in text.split("\n"):
+            i = 0
+            # strip ruby markers for counting; simple budget-based wrap
+            cur = ""
+            budget = per_line
+            in_ruby = 0
+            for ch in para:
+                if ch == RUBY_BASE:
+                    in_ruby = 1
+                    cur += ch
+                    continue
+                if ch == RUBY_TEXT:
+                    in_ruby = 2
+                    cur += ch
+                    continue
+                if ch == RUBY_END:
+                    in_ruby = 0
+                    cur += ch
+                    continue
+                cur += ch
+                if in_ruby != 2:
+                    budget -= 1
+                if budget <= 0 and in_ruby == 0:
+                    out.append(cur)
+                    cur = ""
+                    budget = per_line
+            if cur:
+                out.append(cur)
+        # kinsoku: move forbidden line-start chars up, line-end chars down
+        fixed: List[str] = []
+        carry = ""
+        for line in out:
+            line = carry + line
+            carry = ""
+            while fixed and line and line[0] in LINE_START_FORBID:
+                fixed[-1] += line[0]
+                line = line[1:]
+            if line and line[-1] in LINE_END_FORBID:
+                carry = line[-1]
+                line = line[:-1]
+            if line:
+                fixed.append(line)
+        if carry:
+            fixed.append(carry)
+        return fixed
+
+    # ------------------------------------------------------------------
+    # page patterns
+    # ------------------------------------------------------------------
+
+    def random_scatter(self, chars: str, rast: GlyphRasterizer,
+                       count: int = 40):
+        """Random isolated characters across the page."""
+        for _ in range(count):
+            ch = chars[int(self.rng.integers(len(chars)))]
+            x = float(self.rng.uniform(rast.size, self.width - rast.size))
+            y = float(self.rng.uniform(rast.size, self.height - rast.size))
+            g = rast.glyph(ch, False)
+            if g is None or g.bitmap.size == 0:
+                continue
+            bbox = self._blit(g, x, y)
+            if bbox:
+                self._record(bbox, ord(ch), 0)
+                self._mark_textline(*bbox)
+            self.text_parts.append(ch + "\n")
+
+    def random_grid(self, chars: str, rast: GlyphRasterizer,
+                    rows: int = 5, cols: int = 8):
+        """Table layout with ruled lines (separator map)."""
+        size = rast.size
+        cw, chh = size * 2.0, size * 2.0
+        x0 = float(self.rng.uniform(size, max(size + 1,
+                                              self.width - cols * cw - size)))
+        y0 = float(self.rng.uniform(size, max(size + 1,
+                                              self.height - rows * chh - size)))
+        for r in range(rows + 1):
+            self.draw_separator(x0, y0 + r * chh, x0 + cols * cw,
+                                y0 + r * chh + 1)
+        for c in range(cols + 1):
+            self.draw_separator(x0 + c * cw, y0, x0 + c * cw + 1,
+                                y0 + rows * chh)
+        for r in range(rows):
+            for c in range(cols):
+                ch = chars[int(self.rng.integers(len(chars)))]
+                self.draw_line(ch, rast,
+                               x0 + c * cw + size * 0.5,
+                               y0 + r * chh + size * 0.5)
+                self.text_parts.append("\n")
+
+    def header(self, text: str, rast: GlyphRasterizer, top: bool = True):
+        """Header/footer text with a separator rule."""
+        y = rast.size if top else self.height - rast.size * 2.5
+        self.draw_line(text, rast, rast.size * 2, y)
+        ry = y + rast.size * 1.4 if top else y - rast.size * 0.4
+        self.draw_separator(rast.size, ry, self.width - rast.size, ry + 1)
+        self.text_parts.append("\n")
+
+    def warichu(self, text: str, rast_half: GlyphRasterizer,
+                x: float, y: float, width_px: float):
+        """Inline two-row half-size note."""
+        half = len(text) // 2 + len(text) % 2
+        self.draw_line(text[:half], rast_half, x, y - rast_half.size * 0.5)
+        self.draw_line(text[half:], rast_half, x, y + rast_half.size * 0.6)
+        self.text_parts.append("\n")
+
+    # ------------------------------------------------------------------
+
+    def result(self) -> Dict[str, np.ndarray]:
+        pos = np.array([[b.cx, b.cy, b.w, b.h] for b in self.boxes],
+                       np.float32).reshape(-1, 4)
+        codes = np.array([[b.code, b.flags] for b in self.boxes],
+                         np.int32).reshape(-1, 2)
+        return {
+            "text": "".join(self.text_parts),
+            "image": (np.clip(self.image, 0, 1) * 255).astype(np.uint8),
+            "position": pos,
+            "code_list": codes,
+            "textline": self.textline,
+            "sepline": self.sepline,
+        }
+
+
+HASATTR_TTB = True  # raqm-shaped vertical glyphs carry their own offsets
