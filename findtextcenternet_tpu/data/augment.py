@@ -12,6 +12,7 @@ and the semantics reference.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -67,43 +68,91 @@ def inverse_partial(image: np.ndarray, rng: np.random.Generator) -> None:
     image[i:i + h, j:j + w] = 255 - image[i:i + h, j:j + w]
 
 
-def transform_crop(
-    image: np.ndarray,        # (H, W) uint8 page rendering
-    textline: np.ndarray,     # (H/2, W/2) uint8
-    sepline: np.ndarray,      # (H/2, W/2) uint8
-    position: np.ndarray,     # (N, 4) float32 cx,cy,w,h
-    codelist: np.ndarray,     # (N, 2) int32
-    rng: np.random.Generator,
-    out_hw: Tuple[int, int] = (IMAGE_HEIGHT, IMAGE_WIDTH),
-    scale: int = SCALE,
-    return_positions: bool = False,
-):
-    """Random affine + crop; returns (image[h,w] f32 in [0,1],
-    labelmap (h/s, w/s, 5), idmap (h/s, w/s, 2), minsize) and, when
-    ``return_positions``, the transformed (N, 4) box array in crop
-    coordinates as a fifth element."""
+@dataclasses.dataclass
+class AffineParams:
+    """Pre-sampled augmentation parameters (shared by numpy/native)."""
+    angle: float
+    size_x: float
+    size_y: float
+    sh_x: float
+    sh_y: float
+    startx: float
+    starty: float
+    nearest: bool
+    inv_rect: Tuple[int, int, int, int]   # y0, y1, x0, x1; (-1,..) = none
+
+    def as_array(self):
+        return np.array([
+            self.angle, self.size_x, self.size_y, self.sh_x, self.sh_y,
+            self.startx, self.starty, 1.0 if self.nearest else 0.0,
+            *self.inv_rect], np.float64)
+
+
+def sample_params(image: np.ndarray, position: np.ndarray,
+                  rng: np.random.Generator,
+                  out_hw: Tuple[int, int] = (IMAGE_HEIGHT, IMAGE_WIDTH),
+                  strong: bool = True,
+                  invert: bool = True) -> AffineParams:
+    """Sample the full augmentation parameter set."""
+    out_h, out_w = out_hw
+    im_h, im_w = image.shape[:2]
+    n = len(position)
+    mean_size = 10.0
+    if n:
+        ssum = float(np.sum(np.maximum(position[:, 2], position[:, 3])))
+        mean_size = ssum / n if ssum > 0 else 10.0
+    angle, size_x, size_y, sh_x, sh_y = sample_affine_params(
+        rng, mean_size, strong)
+
+    if invert:
+        h = int(rng.uniform() * (im_h - 1))
+        w = int(rng.uniform() * (im_w - 1))
+        i = int(rng.uniform() * (im_h - h + 1))
+        j = int(rng.uniform() * (im_w - w + 1))
+        inv_rect = (i, i + h, j, j + w)
+    else:
+        inv_rect = (-1, -1, -1, -1)
+
+    # crop origin near a random (transformed) box
+    M = _affine_matrix(im_w / 2, im_h / 2, angle, size_x, size_y, sh_x, sh_y)
+    if n:
+        cidx = int(rng.uniform() * n)
+        c = position[cidx, :2].astype(np.float64)
+        rc = M[:2, :2] @ c + M[:2, 2]
+        startx = rc[0] - (rng.uniform() * out_w * 0.75 + out_w / 8)
+        starty = rc[1] - (rng.uniform() * out_h * 0.75 + out_h / 8)
+    else:
+        startx = rng.uniform() * out_w
+        starty = rng.uniform() * out_h
+    nearest = rng.uniform() < 0.05
+    return AffineParams(float(angle), float(size_x), float(size_y),
+                        float(sh_x), float(sh_y), float(startx),
+                        float(starty), bool(nearest), inv_rect)
+
+
+def apply_transform_numpy(image, textline, sepline, position, codelist,
+                          p: AffineParams,
+                          out_hw: Tuple[int, int] = (IMAGE_HEIGHT,
+                                                     IMAGE_WIDTH),
+                          scale: int = SCALE):
+    """Apply pre-sampled augmentation (numpy/cv2 backend)."""
     out_h, out_w = out_hw
     mh, mw = out_h // scale, out_w // scale
     im_h, im_w = image.shape
     n = len(position)
 
-    mean_size = 10.0
-    if n:
-        s = float(np.sum(np.maximum(position[:, 2], position[:, 3])))
-        mean_size = s / n if s > 0 else 10.0
-
-    angle, size_x, size_y, sh_x, sh_y = sample_affine_params(rng, mean_size)
-
-    M = _affine_matrix(im_w / 2, im_h / 2, angle, size_x, size_y, sh_x, sh_y)
+    M = _affine_matrix(im_w / 2, im_h / 2, p.angle, p.size_x, p.size_y,
+                       p.sh_x, p.sh_y)
     M2 = _affine_matrix(textline.shape[1] / 2, textline.shape[0] / 2,
-                        angle, size_x, size_y, sh_x, sh_y)
+                        p.angle, p.size_x, p.size_y, p.sh_x, p.sh_y)
     Minv = np.linalg.inv(M)
     M2inv = np.linalg.inv(M2)
 
     image = image.copy()
-    inverse_partial(image, rng)
+    y0, y1, x0, x1 = p.inv_rect
+    if y0 >= 0:
+        image[y0:y1, x0:x1] = 255 - image[y0:y1, x0:x1]
 
-    # transform box corners (axis-aligned after transform, like the ref)
     pos = position.astype(np.float64).copy()
     if n:
         p1 = pos[:, :2] - pos[:, 2:] / 2
@@ -112,40 +161,23 @@ def transform_crop(
         r2 = (M[:2, :2] @ p2.T).T + M[:2, 2]
         pos[:, :2] = (r1 + r2) / 2
         pos[:, 2:] = r2 - r1
-
-    # crop origin near a random box
-    if n:
-        cidx = int(rng.uniform() * n)
-        startx = pos[cidx, 0] - (rng.uniform() * out_w * 0.75 + out_w / 8)
-        starty = pos[cidx, 1] - (rng.uniform() * out_h * 0.75 + out_h / 8)
-    else:
-        startx = rng.uniform() * out_w
-        starty = rng.uniform() * out_h
-
-    pos[:, 0] -= startx
-    pos[:, 1] -= starty
+    pos[:, 0] -= p.startx
+    pos[:, 1] -= p.starty
 
     keysize, idmap, minsize = make_target_maps(
         pos.astype(np.float32), codelist, (mh, mw), scale)
 
-    # resample page image: dst(x,y) = src(Minv @ (x+startx, y+starty))
-    nearest = rng.uniform() < 0.05
-    A = Minv[:2, :].copy()
-    # absorb the start offset: src = Minv @ T(start) @ dst
-    T = np.array([[1, 0, startx], [0, 1, starty], [0, 0, 1]], np.float64)
-    A = (Minv @ T)[:2, :]
+    T = np.array([[1, 0, p.startx], [0, 1, p.starty], [0, 0, 1]], np.float64)
     if cv2 is not None:
-        flags = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
+        flags = cv2.INTER_NEAREST if p.nearest else cv2.INTER_LINEAR
+        A = (Minv @ T)[:2, :]
         out_img = cv2.warpAffine(
             image, A.astype(np.float32), (out_w, out_h),
             flags=flags | cv2.WARP_INVERSE_MAP,
             borderMode=cv2.BORDER_CONSTANT, borderValue=0)
         out_img = out_img.astype(np.float32) / 255.0
-
-        # maps are half-resolution sources sampled at map scale:
-        # src = M2inv @ (x*scale/2 + start/2)
-        S = np.array([[scale / 2, 0, startx / 2],
-                      [0, scale / 2, starty / 2], [0, 0, 1]], np.float64)
+        S = np.array([[scale / 2, 0, p.startx / 2],
+                      [0, scale / 2, p.starty / 2], [0, 0, 1]], np.float64)
         A2 = (M2inv @ S)[:2, :]
         line = cv2.warpAffine(
             textline, A2.astype(np.float32), (mw, mh),
@@ -157,21 +189,58 @@ def transform_crop(
             borderMode=cv2.BORDER_CONSTANT, borderValue=0)
         line = line.astype(np.float32) / 255.0
         seps = seps.astype(np.float32) / 255.0
-    else:  # pure-numpy fallback
-        out_img = _warp_numpy(image, Minv, startx, starty, out_h, out_w,
-                              nearest) / 255.0
-        line = _warp_numpy(textline, M2inv, startx / 2, starty / 2, mh, mw,
-                           False, step=scale / 2) / 255.0
-        seps = _warp_numpy(sepline, M2inv, startx / 2, starty / 2, mh, mw,
-                           False, step=scale / 2) / 255.0
+    else:
+        out_img = _warp_numpy(image, Minv, p.startx, p.starty, out_h, out_w,
+                              p.nearest) / 255.0
+        line = _warp_numpy(textline, M2inv, p.startx / 2, p.starty / 2,
+                           mh, mw, False, step=scale / 2) / 255.0
+        seps = _warp_numpy(sepline, M2inv, p.startx / 2, p.starty / 2,
+                           mh, mw, False, step=scale / 2) / 255.0
 
     labelmap = np.concatenate(
         [keysize, line[..., None], seps[..., None]], axis=-1)
+    return (out_img.astype(np.float32), labelmap.astype(np.float32),
+            idmap, minsize, pos.astype(np.float32))
+
+
+def transform_crop(
+    image: np.ndarray,        # (H, W) uint8 page rendering
+    textline: np.ndarray,     # (H/2, W/2) uint8
+    sepline: np.ndarray,      # (H/2, W/2) uint8
+    position: np.ndarray,     # (N, 4) float32 cx,cy,w,h
+    codelist: np.ndarray,     # (N, 2) int32
+    rng: np.random.Generator,
+    out_hw: Tuple[int, int] = (IMAGE_HEIGHT, IMAGE_WIDTH),
+    scale: int = SCALE,
+    return_positions: bool = False,
+    backend: str = "auto",
+):
+    """Random affine + crop; returns (image[h,w] f32 in [0,1],
+    labelmap (h/s, w/s, 5), idmap (h/s, w/s, 2), minsize) and, when
+    ``return_positions``, the transformed (N, 4) box array in crop
+    coordinates as a fifth element.
+
+    backend: 'auto' uses the native C++ kernels when built, else numpy.
+    """
+    params = sample_params(image, position, rng, out_hw)
+    if backend in ("auto", "native"):
+        from .augment_native import apply_transform_native, native_available
+        if native_available():
+            out = apply_transform_native(image, textline, sepline,
+                                         position, codelist, params,
+                                         out_hw, scale)
+        elif backend == "native":
+            raise RuntimeError("native augment library not built")
+        else:
+            out = apply_transform_numpy(image, textline, sepline, position,
+                                        codelist, params, out_hw, scale)
+    else:
+        out = apply_transform_numpy(image, textline, sepline, position,
+                                    codelist, params, out_hw, scale)
+    img, labelmap, idmap, minsize, pos = out
     if return_positions:
-        return (out_img.astype(np.float32), labelmap.astype(np.float32),
-                idmap, minsize, pos.astype(np.float32))
-    return out_img.astype(np.float32), labelmap.astype(np.float32), idmap, \
-        minsize
+        return img, labelmap, idmap, minsize, pos
+    return img, labelmap, idmap, minsize
 
 
 def _warp_numpy(img, Minv, sx, sy, out_h, out_w, nearest, step=1.0):

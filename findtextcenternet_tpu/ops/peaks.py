@@ -37,6 +37,7 @@ def extract_peaks(
     max_peaks: int = 1024,
     threshold: float = 0.4,
     region_mask: jnp.ndarray | None = None,  # (B, H, W) bool central region
+    use_pallas: bool | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Top-k character peaks with decoded boxes and gathered features.
 
@@ -48,10 +49,19 @@ def extract_peaks(
     """
     b, h, w, _ = heatmap.shape
     keymap = heatmap[..., 0]
-    peak_logits = nms_peakmap(keymap)
-    peak_p = jax.nn.sigmoid(peak_logits.astype(jnp.float32))
-    if region_mask is not None:
-        peak_p = peak_p * region_mask.astype(peak_p.dtype)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        # fused sigmoid + 3x3 NMS + mask in one VMEM-resident kernel
+        from .pallas_kernels import nms_sigmoid_masked
+        mask = (region_mask if region_mask is not None
+                else jnp.ones((b, h, w), jnp.float32))
+        peak_p = nms_sigmoid_masked(keymap.astype(jnp.float32), mask)
+    else:
+        peak_logits = nms_peakmap(keymap)
+        peak_p = jax.nn.sigmoid(peak_logits.astype(jnp.float32))
+        if region_mask is not None:
+            peak_p = peak_p * region_mask.astype(peak_p.dtype)
 
     flat = peak_p.reshape(b, h * w)
     score, idx = jax.lax.top_k(flat, max_peaks)        # (B, K)
