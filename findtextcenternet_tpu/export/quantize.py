@@ -1,0 +1,129 @@
+"""Quantization: int8 weights (per-channel symmetric) + bf16 casting.
+
+TPU-native counterpart of the reference's ONNX int8 static quantization
+(`/root/reference/quantize1_onnx.py`): weights are stored int8 with
+per-output-channel scales and dequantized on use (halving HBM footprint
+and weight-load bandwidth); activation calibration collects moving-average
+ranges over real batches. Like the reference, the detector's feature head
+and the key-heatmap head are excluded from quantization
+(`quantize1_onnx.py:96-117`), since downstream CRT decoding is sensitive
+to their precision.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterable, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# parameter paths excluded from quantization (regex on '/'-joined path)
+DEFAULT_EXCLUDE = (
+    r".*feature.*",        # 100-d feature head
+    r".*keyheatmap.*",     # key heatmap head
+    r".*bn.*", r".*norm.*",  # normalization params stay float
+    r".*pos_emb.*",
+    r".*embed\d*/embedding$",
+)
+
+
+def _iter_paths(tree, prefix=""):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _iter_paths(v, f"{prefix}/{k}" if prefix else k)
+    else:
+        yield prefix, tree
+
+
+def quantize_params(params, exclude: Iterable[str] = DEFAULT_EXCLUDE
+                    ) -> Tuple[dict, dict]:
+    """Quantize kernel/dense weights to int8.
+
+    Returns (quantized_tree, scales_tree); quantized leaves are int8 with
+    per-output-channel scales (last axis), excluded leaves pass through.
+    """
+    rx = [re.compile(p) for p in exclude]
+
+    def quant(path, leaf):
+        leaf = np.asarray(leaf)
+        is_weight = path.endswith(("kernel",)) and leaf.ndim >= 2
+        if not is_weight or any(r.match(path) for r in rx):
+            return leaf, None
+        axes = tuple(range(leaf.ndim - 1))
+        amax = np.max(np.abs(leaf), axis=axes, keepdims=True)
+        scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        q = np.clip(np.round(leaf / scale), -127, 127).astype(np.int8)
+        return q, scale
+
+    qflat, sflat = {}, {}
+    for path, leaf in _iter_paths(params):
+        q, s = quant(path, leaf)
+        qflat[path] = q
+        if s is not None:
+            sflat[path] = s
+
+    def rebuild(tree, flat, prefix=""):
+        if isinstance(tree, dict):
+            return {k: rebuild(v, flat, f"{prefix}/{k}" if prefix else k)
+                    for k, v in tree.items()}
+        return flat[prefix]
+
+    qtree = rebuild(params, qflat)
+    return qtree, sflat
+
+
+def dequantize_params(qtree, scales: Dict[str, np.ndarray],
+                      dtype=jnp.bfloat16):
+    """Materialize float params from an int8-quantized tree."""
+    def walk(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: walk(v, f"{prefix}/{k}" if prefix else k)
+                    for k, v in tree.items()}
+        if prefix in scales:
+            return (np.asarray(tree, np.float32)
+                    * scales[prefix]).astype(dtype)
+        return tree
+
+    return walk(qtree)
+
+
+def cast_params(params, dtype=jnp.bfloat16, keep_norm_f32: bool = True):
+    """Cast float params to bf16 (the TPU analog of the reference's fp16
+    graph conversion, `convert_fp16_onnx.py`); norm params stay f32."""
+    def walk(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: walk(v, f"{prefix}/{k}" if prefix else k)
+                    for k, v in tree.items()}
+        arr = jnp.asarray(tree)
+        if not jnp.issubdtype(arr.dtype, jnp.floating):
+            return arr
+        if keep_norm_f32 and re.search(r"(bn|norm)", prefix):
+            return arr.astype(jnp.float32)
+        return arr.astype(dtype)
+
+    return walk(params)
+
+
+class ActivationCalibrator:
+    """Moving-average activation ranges over calibration batches
+    (reference uses 200 real samples with moving-average calibration)."""
+
+    def __init__(self, momentum: float = 0.95):
+        self.momentum = momentum
+        self.ranges: Dict[str, Tuple[float, float]] = {}
+
+    def observe(self, name: str, arr) -> None:
+        lo = float(jnp.min(arr))
+        hi = float(jnp.max(arr))
+        if name in self.ranges:
+            plo, phi = self.ranges[name]
+            m = self.momentum
+            self.ranges[name] = (m * plo + (1 - m) * lo,
+                                 m * phi + (1 - m) * hi)
+        else:
+            self.ranges[name] = (lo, hi)
+
+    def scale(self, name: str) -> float:
+        lo, hi = self.ranges[name]
+        return max(abs(lo), abs(hi)) / 127.0
