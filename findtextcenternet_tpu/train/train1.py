@@ -57,6 +57,7 @@ def train(shards, val_shards=None, config=None, num_workers: int = 4,
     from ..parallel import make_mesh, shard_batch
     from . import checkpoint as ckpt
     from .metrics import MetricLogger, RunningMetrics
+    from ..utils.profiling import StepTimer
     from .steps import (detector_bn_recalib_step, detector_eval_step,
                         detector_train_step)
 
@@ -88,6 +89,7 @@ def train(shards, val_shards=None, config=None, num_workers: int = 4,
 
     logger = MetricLogger(f"{tc.checkpoint_dir}/logs")
     running = RunningMetrics()
+    timer = StepTimer()
     it = iter(loader)
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, tc.epochs):
@@ -95,8 +97,10 @@ def train(shards, val_shards=None, config=None, num_workers: int = 4,
             batch = shard_batch(next(it), mesh)
             state, metrics = train_step(state, batch)
             running.update({k: v for k, v in metrics.items()})
+            timer.tick()
             if int(state.step) % tc.log_every == 0:
-                logger.log(int(state.step), running.summary())
+                logger.log(int(state.step),
+                           running.summary() | timer.summary())
                 running.reset()
 
         # BN recalibration with averaged params before checkpointing

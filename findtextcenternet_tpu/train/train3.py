@@ -59,6 +59,7 @@ def train(features_npz=None, text_files=(), config=None,
     from ..utils.text import codes_to_text
     from . import checkpoint as ckpt
     from .metrics import MetricLogger, RunningMetrics
+    from ..utils.profiling import StepTimer
     from .steps import transformer_eval_step, transformer_train_step
 
     config = config or Config()
@@ -89,6 +90,7 @@ def train(features_npz=None, text_files=(), config=None,
 
     logger = MetricLogger(f"{tc.checkpoint_dir}/logs")
     running = RunningMetrics()
+    timer = StepTimer()
     it = train_ds.batches(tc.batch_size)
     vit = val_ds.batches(tc.batch_size)
 
@@ -99,8 +101,10 @@ def train(features_npz=None, text_files=(), config=None,
             batch = {k: v for k, v in next(it).items()}
             state, metrics = train_step(state, shard_batch(batch, mesh))
             running.update(metrics)
+            timer.tick()
             if int(state.step) % tc.log_every == 0:
-                logger.log(int(state.step), running.summary())
+                logger.log(int(state.step),
+                           running.summary() | timer.summary())
                 running.reset()
 
         path = ckpt.save_checkpoint(tc.checkpoint_dir, state, config)
