@@ -29,7 +29,7 @@ jax.config.update("jax_compilation_cache_dir",
                                ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-BATCH = 8
+BATCH = 16
 ITERS = 10
 BASELINE_TILES_PER_SEC = 25.0
 

@@ -41,7 +41,20 @@ class GlyphRasterizer:
         self.font = ImageFont.truetype(font_path, size)
         self._cache: Dict[Tuple[str, bool], Optional[Glyph]] = {}
 
+    _cmap = None
+
     def has_glyph(self, ch: str) -> bool:
+        """True when the font's cmap really maps the character (a naive
+        render test counts .notdef tofu boxes as coverage)."""
+        if self._cmap is None:
+            try:
+                from fontTools.ttLib import TTFont
+                tt = TTFont(self.font_path, fontNumber=0, lazy=True)
+                self._cmap = tt.getBestCmap()
+            except Exception:
+                self._cmap = {}
+        if self._cmap:
+            return ord(ch) in self._cmap
         try:
             mask = self.font.getmask(ch)
             return mask.size[0] > 0 and mask.size[1] > 0

@@ -123,6 +123,8 @@ class OCRPipeline:
                 jnp.zeros((1, dims.max_dec_seq_len), jnp.int32))
         self.det_vars = detector_variables
         self.tf_vars = transformer_variables
+        # optional CRT auxiliary classifier (per-box decode in tools)
+        self.simple_decoder_vars = None
 
         mp = config.mask_predict
         ic = config.inference
@@ -160,12 +162,29 @@ class OCRPipeline:
                                config: Config = Config(),
                                model_size: str = "xl") -> "OCRPipeline":
         from ..io.torch_import import (
-            import_detection_only, import_transformer, load_torch_state_dict)
+            import_detection_only, import_detector, import_transformer,
+            load_torch_state_dict)
         det_sd = load_torch_state_dict(model_pt)
         det_vars = import_detection_only(det_sd, model_size)
         tf_sd = load_torch_state_dict(model3_pt)
-        tf_vars = import_transformer(tf_sd)
-        return cls(config, det_vars, tf_vars, model_size=model_size)
+        t = config.transformer
+        dims = TransformerDims(
+            enc_input_dim=t.enc_input_dim, embed_dim=t.embed_dim,
+            head_num=t.head_num, enc_block_num=t.enc_block_num,
+            dec_block_num=t.dec_block_num,
+            max_enc_seq_len=t.max_enc_seq_len,
+            max_dec_seq_len=t.max_dec_seq_len)
+        tf_vars = import_transformer(tf_sd, dims)
+        self = cls(config, det_vars, tf_vars, model_size=model_size)
+        # wire the CRT auxiliary decoder when present in the checkpoint
+        if any(k.startswith("decoder.") for k in det_sd):
+            from ..models.detector import SimpleDecoder
+            full = import_detector(det_sd, model_size)
+            sd_model = SimpleDecoder(config.detector.decoder_mid_dim)
+            self.simple_decoder_vars = (sd_model, {
+                "params": full["params"]["decoder"],
+                "batch_stats": full["batch_stats"]["decoder"]})
+        return self
 
     # ------------------------------------------------------------------
     # stage 1: tiled detection

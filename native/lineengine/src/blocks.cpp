@@ -143,6 +143,30 @@ void make_blocks(std::vector<Box>& boxes, std::vector<Chain>& chains,
         return (b.minx + b.maxx) / 2 > mid ? 0 : 1;  // right page first (JP)
     };
 
+    // sections: horizontal bands delimited by long horizontal separator
+    // rules (headers/footers); a block's section is its band index
+    std::vector<int> band_rows;   // map-scale y of full-width rules
+    {
+        const int mh = sepmask.h, mw = sepmask.w;
+        int prev = -10;
+        for (int y = 0; y < mh; ++y) {
+            int run = 0;
+            for (int x = 0; x < mw; ++x)
+                if (sepmask.at(x, y)) ++run;
+            if (run > mw * 6 / 10 && y > prev + 2) {
+                band_rows.push_back(y);
+                prev = y;
+            }
+        }
+    }
+    auto section_of = [&](const BlockInfo& b) {
+        float cy = (b.miny + b.maxy) / 2 / p.scale;
+        int s = 0;
+        for (int row : band_rows)
+            if (cy > (float)row) ++s;
+        return s;
+    };
+
     // block reading order: page, then vertical right->left / top->down,
     // horizontal top->down / left->right. Mixed pages: order by the
     // dominant direction of the page.
@@ -181,7 +205,7 @@ void make_blocks(std::vector<Box>& boxes, std::vector<Chain>& chains,
                 boxes[id].block = block_no;
                 boxes[id].idx = line_no;
                 boxes[id].page = page_of(b);
-                boxes[id].section = 0;
+                boxes[id].section = section_of(b);
             }
             ++line_no;
         }

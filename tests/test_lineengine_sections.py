@@ -1,0 +1,47 @@
+"""Line engine: section assignment via full-width separator rules."""
+import numpy as np
+import pytest
+
+from findtextcenternet_tpu.infer import lineengine
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    if not lineengine.build_native():
+        pytest.skip("native line engine not buildable")
+
+
+def test_header_rule_splits_sections():
+    w = h = 192
+    line = np.zeros((h, w), np.float32)
+    sep = np.zeros((h, w), np.float32)
+    # header text at y=40 (map 10), body at y=400 (map 100)
+    line[8:12, 5:60] = 1.0
+    line[98:103, 5:60] = 1.0
+    # full-width horizontal rule between them at map y=30
+    sep[29:31, 2:190] = 1.0
+    boxes = [[30 + 25 * i, 40, 20, 20, 0, 0, 0, 0] for i in range(4)]
+    boxes += [[30 + 25 * i, 400, 20, 20, 0, 0, 0, 0] for i in range(4)]
+    out = lineengine.detect_lines(line, sep, np.array(boxes, np.float32))
+    sec = {int(i): int(s) for i, s in zip(out[:, 0], out[:, 6])}
+    # header boxes in section 0, body in section 1
+    assert all(sec[i] == 0 for i in range(4))
+    assert all(sec[i] == 1 for i in range(4, 8))
+
+
+def test_page_divide():
+    w = h = 192
+    line = np.zeros((h, w), np.float32)
+    sep = np.zeros((h, w), np.float32)
+    # two vertical columns on opposite page halves
+    line[10:60, 160:164] = 1.0
+    line[10:60, 30:34] = 1.0
+    boxes = [[648, 60 + 40 * i, 24, 24, 0, 0, 0, 0] for i in range(3)]
+    boxes += [[128, 60 + 40 * i, 24, 24, 0, 0, 0, 0] for i in range(3)]
+    out = lineengine.detect_lines(line, sep, np.array(boxes, np.float32),
+                                  params={"page_divide": 1})
+    pages = {int(i): int(pg) for i, pg in zip(out[:, 0], out[:, 5])}
+    assert all(pages[i] == 0 for i in range(3))      # right half = page 0
+    assert all(pages[i] == 1 for i in range(3, 6))   # left half = page 1
+    # page 0 boxes come first in reading order
+    assert set(out[:3, 0]) == {0, 1, 2}
