@@ -356,23 +356,24 @@ def colorize(im: np.ndarray, rng: np.random.Generator,
 
 
 def process_sample(sample: Dict[str, np.ndarray], rng: np.random.Generator,
-                   blank_prob: float = 0.01) -> Dict[str, np.ndarray]:
+                   blank_prob: float = 0.01,
+                   out_hw: Tuple[int, int] = (IMAGE_HEIGHT, IMAGE_WIDTH)
+                   ) -> Dict[str, np.ndarray]:
     """Full step1 sample pipeline: crop/warp + targets + colorize.
 
     ``sample``: image (H,W) u8, textline/sepline (H/2,W/2) u8,
     position (N,4) f32, code_list (N,2) i32.
     Returns image (h,w,3) f32, labelmap (h/s,w/s,5), idmap (h/s,w/s,2).
     """
+    oh, ow = out_hw
     if rng.uniform() < blank_prob:
         return {
-            "image": np.zeros((IMAGE_HEIGHT, IMAGE_WIDTH, 3), np.float32),
-            "labelmap": np.zeros(
-                (IMAGE_HEIGHT // SCALE, IMAGE_WIDTH // SCALE, 5), np.float32),
-            "idmap": np.zeros(
-                (IMAGE_HEIGHT // SCALE, IMAGE_WIDTH // SCALE, 2), np.int32),
+            "image": np.zeros((oh, ow, 3), np.float32),
+            "labelmap": np.zeros((oh // SCALE, ow // SCALE, 5), np.float32),
+            "idmap": np.zeros((oh // SCALE, ow // SCALE, 2), np.int32),
         }
     img, labelmap, idmap, _ = transform_crop(
         sample["image"], sample["textline"], sample["sepline"],
-        sample["position"], sample["code_list"], rng)
+        sample["position"], sample["code_list"], rng, out_hw=out_hw)
     rgb = colorize(img, rng, sample.get("background"))
     return {"image": rgb, "labelmap": labelmap, "idmap": idmap}

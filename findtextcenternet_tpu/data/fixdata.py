@@ -13,11 +13,11 @@ from __future__ import annotations
 import glob
 import json
 import os
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 
-from .augment import colorize, sample_affine_params, transform_crop
+from .augment import colorize, transform_crop
 
 
 def load_fixdata_item(json_path: str) -> Optional[Dict]:

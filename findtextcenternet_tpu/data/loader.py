@@ -10,9 +10,8 @@ data parallelism each host feeds its own shard subset.
 from __future__ import annotations
 
 import multiprocessing as mp
-import queue as queue_mod
 import random
-from typing import Callable, Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
@@ -33,7 +32,7 @@ def _rename_reference_keys(sample: Dict) -> Dict:
 
 
 def _worker(shard_queue: mp.Queue, out_queue: mp.Queue, seed: int,
-            shuffle_buf: int):
+            shuffle_buf: int, out_hw=None):
     rng = np.random.default_rng(seed)
     buf: List[Dict] = []
     while True:
@@ -54,11 +53,13 @@ def _worker(shard_queue: mp.Queue, out_queue: mp.Queue, seed: int,
                     i = int(rng.integers(len(buf)))
                     buf[i], buf[-1] = buf[-1], buf[i]
                     item = buf.pop()
-                    out_queue.put(process_sample(item, rng))
+                    out_queue.put(process_sample(item, rng, out_hw=out_hw)
+                                  if out_hw else process_sample(item, rng))
         except Exception as e:  # keep the pipeline alive on bad shards
             out_queue.put({"__error__": repr(e), "__shard__": str(shard)})
     for item in buf:
-        out_queue.put(process_sample(item, rng))
+        out_queue.put(process_sample(item, rng, out_hw=out_hw)
+                      if out_hw else process_sample(item, rng))
     out_queue.put(_STOP)
 
 
@@ -68,7 +69,7 @@ class DetectorLoader:
     def __init__(self, shards: List[str], batch_size: int,
                  num_workers: int = 4, seed: int = 0,
                  shuffle_buf: int = 64, repeat: bool = True,
-                 max_prefetch: int = 8):
+                 max_prefetch: int = 8, out_hw=None):
         self.shards = list(shards)
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
@@ -76,6 +77,7 @@ class DetectorLoader:
         self.shuffle_buf = shuffle_buf
         self.repeat = repeat
         self.max_prefetch = max_prefetch
+        self.out_hw = out_hw
         self._procs: List[mp.Process] = []
         self._out: Optional[mp.Queue] = None
         self._shard_q: Optional[mp.Queue] = None
@@ -93,7 +95,8 @@ class DetectorLoader:
         for i in range(self.num_workers):
             p = ctx.Process(target=_worker,
                             args=(self._shard_q, self._out,
-                                  self.seed + i, self.shuffle_buf),
+                                  self.seed + i, self.shuffle_buf,
+                                  self.out_hw),
                             daemon=True)
             p.start()
             self._procs.append(p)

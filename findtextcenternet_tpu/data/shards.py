@@ -137,7 +137,6 @@ def open_shard_stream(url_or_path: str):
     """Open a shard: local path directly, http(s) via the native
     ``downloader`` streamer when built (resume/retry), else urllib."""
     if url_or_path.startswith(("http://", "https://")):
-        import shutil
         import subprocess
         dl = os.path.join(os.path.dirname(__file__), "..", "..", "native",
                           "downloader", "downloader")

@@ -23,14 +23,10 @@ from ..const import (
     DECODER_MSK,
     DECODER_PAD,
     DECODER_SOT,
-    ENCODER_ADD_DIM,
     ENCODER_DIM,
     FEATURE_DIM,
     MAX_DECODER_LEN,
     MAX_ENCODER_LEN,
-    RUBY_BASE_START,
-    RUBY_END,
-    RUBY_TEXT_START,
 )
 
 UNICODE_WHITESPACE = set(
@@ -87,8 +83,8 @@ class FeatureBank:
 
 
 def gen_feature(text: str, bank: FeatureBank, rng: np.random.Generator,
-                orientation: str = "both", noise_ratio: float = 0.0
-                ) -> np.ndarray:
+                orientation: str = "both", noise_ratio: float = 0.0,
+                enc_len: int = MAX_ENCODER_LEN) -> np.ndarray:
     """Render text to a (max_encoderlen, 106) encoder sequence.
 
     Flags layout and SOT/EOT patterns match
@@ -115,11 +111,11 @@ def gen_feature(text: str, bank: FeatureBank, rng: np.random.Generator,
         else:
             break
 
-    ret = np.zeros((MAX_ENCODER_LEN, ENCODER_DIM), np.float32)
+    ret = np.zeros((enc_len, ENCODER_DIM), np.float32)
     ret[0] = SP_TOKEN
     idx, sp, ruby = 1, False, 0
     for i, c in enumerate(text):
-        if idx >= MAX_ENCODER_LEN:
+        if idx >= enc_len:
             break
         if not horizontal:
             ret[idx, FEATURE_DIM + 0] = 5
@@ -154,16 +150,16 @@ def gen_feature(text: str, bank: FeatureBank, rng: np.random.Generator,
         if i in emphasis_idx:
             ret[idx, FEATURE_DIM + 4] = 5
         idx += 1
-    if idx < MAX_ENCODER_LEN:
+    if idx < enc_len:
         ret[idx] = -SP_TOKEN
     return ret
 
 
-def encode_target(text: str) -> np.ndarray:
-    """text -> [SOT, utf32 codes..., EOT, PAD...] of max_decoderlen."""
+def encode_target(text: str, dec_len: int = MAX_DECODER_LEN) -> np.ndarray:
+    """text -> [SOT, utf32 codes..., EOT, PAD...] of dec_len."""
     codes = [DECODER_SOT] + [ord(c) for c in text] + [DECODER_EOT]
-    codes += [DECODER_PAD] * max(0, MAX_DECODER_LEN - len(codes))
-    return np.asarray(codes[:MAX_DECODER_LEN], np.int32)
+    codes += [DECODER_PAD] * max(0, dec_len - len(codes))
+    return np.asarray(codes[:dec_len], np.int32)
 
 
 def mask_input(true_codes: np.ndarray, rng: np.random.Generator
@@ -234,9 +230,13 @@ class TransformerDataset:
     def __init__(self, bank: FeatureBank,
                  text_files: Sequence[str] = (),
                  real_data: Sequence[Tuple[np.ndarray, str]] = (),
-                 noise_ratio: float = 1.0, seed: int = 0):
+                 noise_ratio: float = 1.0, seed: int = 0,
+                 enc_len: int = MAX_ENCODER_LEN,
+                 dec_len: int = MAX_DECODER_LEN):
         self.bank = bank
         self.noise_ratio = noise_ratio
+        self.enc_len = enc_len
+        self.dec_len = dec_len
         self.rng = np.random.default_rng(seed)
         self.texts: List[str] = []
         for f in text_files:
@@ -272,13 +272,16 @@ class TransformerDataset:
             if self.texts and r < 0.7:
                 text = self._corpus_slice()
             elif r < 0.85:
-                text = random_furigana(self.bank, rng)
+                text = random_furigana(self.bank, rng,
+                                       max_len=self.dec_len - 2)
             else:
-                text = random_text(self.bank, rng)
-            text = text[:MAX_DECODER_LEN - 2]
+                text = random_text(self.bank, rng,
+                                   max_len=self.dec_len - 2)
+            text = text[:self.dec_len - 2]
             enc = gen_feature(text, self.bank, rng,
-                              noise_ratio=self.noise_ratio)
-        true = encode_target(text)
+                              noise_ratio=self.noise_ratio,
+                              enc_len=self.enc_len)
+        true = encode_target(text, self.dec_len)
         inp = mask_input(true, rng)
         return {"encoder_input": enc, "decoder_input": inp,
                 "decoder_true": true, "text": text}

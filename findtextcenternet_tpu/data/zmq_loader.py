@@ -9,7 +9,6 @@ parity and for cross-process decoupling on busy hosts.
 """
 from __future__ import annotations
 
-import os
 import pickle
 import tempfile
 import time

@@ -13,7 +13,7 @@ import html
 import json
 import os
 import re
-from typing import List, Optional
+from typing import List
 
 AOZORA_CARDS_URL = "https://www.aozora.gr.jp/cards/"
 WIKI_RANDOM_API = ("https://{lang}.wikipedia.org/api/rest_v1/"

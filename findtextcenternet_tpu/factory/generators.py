@@ -8,8 +8,7 @@ system/user fonts through the Canvas typesetter.
 """
 from __future__ import annotations
 
-import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -14,7 +14,7 @@ code_list flag bits: 1=ruby text, 2=ruby base, 4=emphasis, 8=space-after.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

@@ -24,7 +24,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .. import crt
 from ..config import Config
 from ..const import (
     DECODER_EOT,

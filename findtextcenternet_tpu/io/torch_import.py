@@ -18,7 +18,6 @@ from typing import Dict, Mapping
 
 import numpy as np
 
-from ..const import FEATURE_DIM
 from ..models.efficientnet import EFFNET_V2_CONFIGS
 from ..models.transformer import TransformerDims
 from ..const import MODULO_LIST

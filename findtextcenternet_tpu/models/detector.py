@@ -23,9 +23,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..const import FEATURE_DIM, MODULO_LIST, NUM_HEATMAP_CH
+from ..const import FEATURE_DIM, MODULO_LIST
 from ..ops.resize import upsample2x
-from .efficientnet import EfficientNetV2, TAP_CHANNELS
+from .efficientnet import EfficientNetV2
 
 _gelu_exact = lambda x: nn.gelu(x, approximate=False)  # noqa: E731
 

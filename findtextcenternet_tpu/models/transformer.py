@@ -16,7 +16,7 @@ Capability-equivalent to the reference transformer
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import jax

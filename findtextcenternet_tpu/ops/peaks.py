@@ -14,8 +14,6 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from ..const import SCALE
-from .resize import resize_bilinear_align_corners  # noqa: F401  (re-export hub)
 
 
 def nms_peakmap(keymap_logits: jnp.ndarray) -> jnp.ndarray:

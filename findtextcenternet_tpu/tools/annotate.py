@@ -24,7 +24,6 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from .. import crt
-from ..const import FEATURE_DIM, SCALE
 
 
 def process_image1(pipeline, image_path: str,
@@ -50,7 +49,6 @@ def process_image1(pipeline, image_path: str,
 
     # per-box CRT decode via the aux SimpleDecoder when available
     if getattr(pipeline, "simple_decoder_vars", None) is not None:
-        import jax
         model, variables = pipeline.simple_decoder_vars
         outs = model.apply(variables, page.features)
         preds = [np.asarray(o.argmax(-1)) for o in outs]

@@ -10,7 +10,6 @@ semantics (`/root/reference/train1.py:203-211`).
 """
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Optional
 
@@ -18,7 +17,7 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-from ..config import Config, config_from_json, to_json
+from ..config import Config, to_json
 from .state import TrainState
 
 

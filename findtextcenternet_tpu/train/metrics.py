@@ -11,9 +11,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Dict, Optional
-
-import numpy as np
+from typing import Dict
 
 
 class RunningMetrics:

@@ -13,11 +13,7 @@ Usage:
 """
 from __future__ import annotations
 
-import dataclasses
 import sys
-from typing import Optional
-
-import numpy as np
 
 
 def build_detector_state(config, mesh=None, seed: int = 0):
@@ -49,7 +45,7 @@ def build_detector_state(config, mesh=None, seed: int = 0):
 
 def train(shards, val_shards=None, config=None, num_workers: int = 4,
           steps_per_epoch: int = 1000, val_steps: int = 50,
-          resume: bool = True):
+          resume: bool = True, mesh=None):
     import jax
 
     from ..config import Config
@@ -63,7 +59,7 @@ def train(shards, val_shards=None, config=None, num_workers: int = 4,
 
     config = config or Config()
     tc = config.train
-    mesh = make_mesh(n_model=1)
+    mesh = mesh or make_mesh(n_model=1)
     model, state = build_detector_state(config, mesh, tc.seed)
 
     if resume:
@@ -80,11 +76,12 @@ def train(shards, val_shards=None, config=None, num_workers: int = 4,
     recalib_step = jax.jit(
         lambda s, b: detector_bn_recalib_step(s, b, fmask_k=fmask_k))
 
+    out_hw = config.detector.image_size
     loader = DetectorLoader(shards, tc.batch_size, num_workers=num_workers,
-                            seed=tc.seed)
+                            seed=tc.seed, out_hw=out_hw)
     val_loader = (DetectorLoader(val_shards, tc.batch_size,
                                  num_workers=max(1, num_workers // 2),
-                                 seed=tc.seed + 7)
+                                 seed=tc.seed + 7, out_hw=out_hw)
                   if val_shards else None)
 
     logger = MetricLogger(f"{tc.checkpoint_dir}/logs")

@@ -48,7 +48,7 @@ def build_transformer_state(config, mesh=None, seed: int = 0,
 
 def train(features_npz=None, text_files=(), config=None,
           steps_per_epoch: int = 1000, val_steps: int = 20,
-          resume: bool = True, synthetic_bank: bool = False):
+          resume: bool = True, synthetic_bank: bool = False, mesh=None):
     import jax
     import numpy as np
 
@@ -64,7 +64,7 @@ def train(features_npz=None, text_files=(), config=None,
 
     config = config or Config()
     tc = config.train
-    mesh = make_mesh(n_model=1)
+    mesh = mesh or make_mesh(n_model=1)
     model, state = build_transformer_state(config, mesh, tc.seed)
 
     if resume:
@@ -80,10 +80,14 @@ def train(features_npz=None, text_files=(), config=None,
     else:
         bank = FeatureBank.load(features_npz)
 
+    enc_len = config.transformer.max_enc_seq_len
+    dec_len = config.transformer.max_dec_seq_len
     train_ds = TransformerDataset(bank, text_files, noise_ratio=1.0,
-                                  seed=tc.seed)
+                                  seed=tc.seed, enc_len=enc_len,
+                                  dec_len=dec_len)
     val_ds = TransformerDataset(bank, text_files, noise_ratio=0.0,
-                                seed=tc.seed + 99)
+                                seed=tc.seed + 99, enc_len=enc_len,
+                                dec_len=dec_len)
 
     train_step = jax.jit(transformer_train_step)
     eval_step = jax.jit(transformer_eval_step)

@@ -298,6 +298,61 @@ static void split_double_lines(std::vector<Chain>& chains,
 }
 
 // ---------------------------------------------------------------------
+// force-chaining of stragglers (reference: after_search chain_line_force)
+// ---------------------------------------------------------------------
+
+// merge 1-2 box fragments into a nearby compatible chain with relaxed
+// thresholds; keeps lines from fragmenting on weak textline maps
+static void force_merge_fragments(std::vector<Chain>& chains,
+                                  std::vector<Box>& boxes,
+                                  const BoolImage& sepmask,
+                                  const Params& p) {
+    for (size_t fi = 0; fi < chains.size(); ++fi) {
+        Chain& frag = chains[fi];
+        if (frag.boxes.empty() || frag.boxes.size() > 2) continue;
+        int best = -1;
+        double best_d = 1e30;
+        for (size_t ci = 0; ci < chains.size(); ++ci) {
+            if (ci == fi || chains[ci].boxes.size() <= 2) continue;
+            const Chain& c = chains[ci];
+            double size = std::max(c.size, frag.size);
+            if (std::min(c.size, frag.size) < size * 0.4) continue;
+            // fragment lateral position within 0.8 line heights
+            float flat = c.vertical
+                ? (frag.x0 + frag.x1) / 2 : (frag.y0 + frag.y1) / 2;
+            if (std::fabs(flat - c.lat) > size * 0.8) continue;
+            float fa = c.vertical
+                ? (frag.y0 + frag.y1) / 2 : (frag.x0 + frag.x1) / 2;
+            float c0 = c.vertical ? c.y0 : c.x0;
+            float c1 = c.vertical ? c.y1 : c.x1;
+            double d = fa < c0 ? c0 - fa : (fa > c1 ? fa - c1 : 0);
+            if (d > 4.0 * size) continue;
+            if (crosses_separator(sepmask, p,
+                                  (frag.x0 + frag.x1) / 2,
+                                  (frag.y0 + frag.y1) / 2,
+                                  (c.x0 + c.x1) / 2, (c.y0 + c.y1) / 2))
+                continue;
+            if (d < best_d) { best_d = d; best = (int)ci; }
+        }
+        if (best < 0) continue;
+        Chain& c = chains[best];
+        c.boxes.insert(c.boxes.end(), frag.boxes.begin(), frag.boxes.end());
+        bool v = c.vertical;
+        std::sort(c.boxes.begin(), c.boxes.end(), [&](int u, int w) {
+            return axis_of(boxes[u], v) < axis_of(boxes[w], v);
+        });
+        update_chain_geometry(c, boxes);
+        for (int id : frag.boxes)
+            if (v) boxes[id].subtype |= kVertical;
+            else boxes[id].subtype &= ~kVertical;
+        frag.boxes.clear();
+    }
+    chains.erase(std::remove_if(chains.begin(), chains.end(),
+                                [](const Chain& c) { return c.boxes.empty(); }),
+                 chains.end());
+}
+
+// ---------------------------------------------------------------------
 
 std::vector<Chain> build_chains(std::vector<Box>& boxes, const Image& line,
                                 const BoolImage& sepmask,
@@ -331,6 +386,7 @@ std::vector<Chain> build_chains(std::vector<Box>& boxes, const Image& line,
     merge_pass(chains, boxes, sepmask, p);
     attach_or_cluster_orphans(chains, boxes, chained, sepmask, p);
     merge_pass(chains, boxes, sepmask, p);
+    force_merge_fragments(chains, boxes, sepmask, p);
     split_double_lines(chains, boxes);
 
     // vertical flag onto boxes

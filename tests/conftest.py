@@ -10,13 +10,23 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# single-core hosts: in-process collectives abort after 40 s at a
+# rendezvous when straggler device threads get starved — raise the limits
+for k in ("xla_cpu_collective_timeout_seconds",
+          "xla_cpu_collective_call_terminate_timeout_seconds"):
+    if k not in flags:
+        flags += f" --{k}=1200"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: GSPMD CPU compiles are minutes on small hosts
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

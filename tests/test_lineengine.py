@@ -138,3 +138,16 @@ def test_orphan_boxes_without_lineimage():
     assert (out[:, 1] >= 0).all()
     assert (out[:, 3] >= 0).all()
     assert list(out[:, 0]) == [0, 1, 2, 3, 4]
+
+
+def test_fragmented_textline_map_merges_to_one_line():
+    """A textline map broken into components must still yield one ordered
+    line (merge + force-merge passes)."""
+    line, sep = _page()
+    line[23:28, 5:40] = 1.0
+    line[23:28, 52:62] = 1.0   # disjoint component over the tail boxes
+    boxes = [_box(40 + 30 * i, 100) for i in range(8)]
+    out = _run(line, sep, boxes)
+    assert (out[:, 1] == out[0, 1]).all()
+    assert (out[:, 2] == out[0, 2]).all()
+    assert list(out[:, 0]) == list(range(8))
