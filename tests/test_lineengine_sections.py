@@ -45,3 +45,38 @@ def test_page_divide():
     assert all(pages[i] == 1 for i in range(3, 6))   # left half = page 1
     # page 0 boxes come first in reading order
     assert set(out[:3, 0]) == {0, 1, 2}
+
+
+def test_vertical_ruby_interleaving():
+    """Vertical text: ruby sits to the RIGHT of its column."""
+    w = h = 192
+    line = np.zeros((h, w), np.float32)
+    sep = np.zeros((h, w), np.float32)
+    line[5:45, 23:28] = 1.0   # vertical line at x=100
+    boxes = [
+        [100, 40, 24, 24, 0, 0.9, 0, 0],    # base
+        [100, 70, 24, 24, 0, 0.9, 0, 0],    # base
+        [100, 100, 24, 24, 0, 0, 0, 0],     # plain
+        [118, 46, 12, 12, 0.9, 0.9, 0, 0],  # ruby (right of column)
+        [118, 64, 12, 12, 0.9, 0.9, 0, 0],  # ruby
+    ]
+    out = lineengine.detect_lines(line, sep, np.array(boxes, np.float32))
+    order = list(out[:, 0])
+    assert order.index(3) > order.index(1)
+    assert order.index(2) > order.index(4)
+    st = {int(i): int(s) for i, s in zip(out[:, 0], out[:, 4])}
+    assert st[3] & 7 == 7   # vertical + ruby
+
+
+def test_distributed_helpers_single_process():
+    import jax
+    from findtextcenternet_tpu.parallel import make_mesh
+    from findtextcenternet_tpu.parallel.distributed import (
+        global_batch_from_host, host_shard_range, init_distributed)
+    assert init_distributed() is False     # no-op single process
+    r = host_shard_range(10)
+    assert list(r) == list(range(10))
+    mesh = make_mesh(n_data=8, n_model=1)
+    batch = global_batch_from_host(
+        {"x": np.arange(16.0).reshape(16, 1)}, mesh)
+    assert batch["x"].shape == (16, 1)
