@@ -90,7 +90,8 @@ def filter_fixdata(dirname: str) -> int:
 class FixDataLoader:
     """Iterates augmented batches from an annotation directory."""
 
-    def __init__(self, dirname: str, batch_size: int, seed: int = 0):
+    def __init__(self, dirname: str, batch_size: int, seed: int = 0,
+                 out_hw=None):
         self.items = []
         for p in sorted(glob.glob(os.path.join(dirname, "*.json"))):
             item = load_fixdata_item(p)
@@ -98,6 +99,7 @@ class FixDataLoader:
                 self.items.append(item)
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
+        self.out_hw = out_hw
 
     def __len__(self):
         return len(self.items)
@@ -107,9 +109,10 @@ class FixDataLoader:
             batch = []
             for _ in range(self.batch_size):
                 item = self.items[int(self.rng.integers(len(self.items)))]
+                kw = {"out_hw": self.out_hw} if self.out_hw else {}
                 img, labelmap, idmap, _ = transform_crop(
                     item["image"], item["textline"], item["sepline"],
-                    item["position"], item["code_list"], self.rng)
+                    item["position"], item["code_list"], self.rng, **kw)
                 rgb = colorize(img, self.rng)
                 batch.append({"image": rgb, "labelmap": labelmap,
                               "idmap": idmap})

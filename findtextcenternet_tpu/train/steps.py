@@ -25,12 +25,17 @@ from .state import TrainState
 
 
 def detector_train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-                        fmask_k: int = 1024
+                        fmask_k: int = 1024, loss_scale: float = 1.0,
+                        freeze_detector: bool = False
                         ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One detector training step.
 
     batch: image (B,H,W,3) float in [0,1]; labelmap (B,h,w,5);
            idmap (B,h,w,2) int32.
+    ``loss_scale`` multiplies the CoV-weighted loss before the gradient
+    (per-source weighting in stage-2 finetuning,
+    `/root/reference/train2.py:186-204`); ``freeze_detector`` zeroes the
+    detector's gradients (the reference's decoder_only mode).
     """
     keylabel = batch["labelmap"][..., 0]
     fmask_idx = topk_fmask(keylabel, fmask_k)
@@ -47,10 +52,15 @@ def detector_train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                                 heatmap, decoder_outputs)
         sub = [metrics[k] for k in DETECTOR_LOSS_NAMES]
         weighted, new_cov, alphas = cov_apply(state.cov, sub)
-        return weighted, (metrics, new_cov, updates["batch_stats"])
+        return weighted * loss_scale, (metrics, new_cov,
+                                       updates["batch_stats"])
 
     grads, (metrics, new_cov, new_bn) = jax.grad(
         loss_fn, has_aux=True)(state.params)
+    if freeze_detector and isinstance(grads, dict) and "detector" in grads:
+        grads = dict(grads)
+        grads["detector"] = jax.tree_util.tree_map(
+            jnp.zeros_like, grads["detector"])
     updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
     new_params = jax.tree_util.tree_map(
         lambda p, u: p + u, state.params, updates)

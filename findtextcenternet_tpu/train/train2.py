@@ -18,7 +18,7 @@ import sys
 def train(fixdata_dir, shards=(), config=None, init_from=None,
           steps_per_epoch: int = 500, weight_fix: float = 1.0,
           weight_stream: float = 1.0, lr_decay: float = 0.98,
-          num_workers: int = 2):
+          num_workers: int = 2, decoder_only: bool = False, mesh=None):
     import jax
     import optax
 
@@ -34,7 +34,7 @@ def train(fixdata_dir, shards=(), config=None, init_from=None,
 
     config = config or Config()
     tc = config.train
-    mesh = make_mesh(n_model=1)
+    mesh = mesh or make_mesh(n_model=1)
     model, state = build_detector_state(config, mesh, tc.seed)
 
     # stage-2 optimizer: RAdam + exponential decay
@@ -54,31 +54,33 @@ def train(fixdata_dir, shards=(), config=None, init_from=None,
         print(f"initialized from {latest}")
 
     fmask_k = config.detector.fmask_topk_per_sample
-    train_step = jax.jit(
-        lambda s, b: detector_train_step(s, b, fmask_k=fmask_k))
+    # per-source gradient scaling + optional detector freeze, like the
+    # reference's weight1/weight2 and decoder_only
+    fix_step = jax.jit(lambda s, b: detector_train_step(
+        s, b, fmask_k=fmask_k, loss_scale=weight_fix,
+        freeze_detector=decoder_only))
+    stream_step = jax.jit(lambda s, b: detector_train_step(
+        s, b, fmask_k=fmask_k, loss_scale=weight_stream,
+        freeze_detector=decoder_only))
 
+    out_hw = config.detector.image_size
     fix_it = iter(FixDataLoader(fixdata_dir, tc.batch_size,
-                                seed=tc.seed).batches())
+                                seed=tc.seed, out_hw=out_hw).batches())
     stream_it = (iter(DetectorLoader(shards, tc.batch_size,
                                      num_workers=num_workers,
-                                     seed=tc.seed))
+                                     seed=tc.seed, out_hw=out_hw))
                  if shards else None)
 
     logger = MetricLogger(f"{tc.checkpoint_dir}/logs")
     running = RunningMetrics()
     for epoch in range(tc.epochs):
         for _ in range(steps_per_epoch):
-            state, m = train_step(state, shard_batch(next(fix_it), mesh))
-            running.update({k: float(v) * weight_fix for k, v in m.items()
-                            if k not in ("correct", "total")}
-                           | {"correct": m["correct"], "total": m["total"]})
+            state, m = fix_step(state, shard_batch(next(fix_it), mesh))
+            running.update(m)
             if stream_it is not None:
-                state, m = train_step(state,
-                                      shard_batch(next(stream_it), mesh))
-                running.update(
-                    {k: float(v) * weight_stream for k, v in m.items()
-                     if k not in ("correct", "total")}
-                    | {"correct": m["correct"], "total": m["total"]})
+                state, m = stream_step(state,
+                                       shard_batch(next(stream_it), mesh))
+                running.update(m)
             if int(state.step) % tc.log_every == 0:
                 logger.log(int(state.step), running.summary())
                 running.reset()
@@ -115,6 +117,12 @@ def main(argv=None):
         elif a.startswith("--checkpoint-dir="):
             cfg = dc.replace(cfg, train=dc.replace(
                 cfg.train, checkpoint_dir=a.split("=", 1)[1]))
+        elif a.startswith("--weight1="):
+            kw["weight_stream"] = float(a.split("=", 1)[1])
+        elif a.startswith("--weight2="):
+            kw["weight_fix"] = float(a.split("=", 1)[1])
+        elif a == "--decoder-only":
+            kw["decoder_only"] = True
     if "fixdata_dir" not in kw:
         print(__doc__)
         return 1

@@ -75,3 +75,28 @@ def test_train3_driver_end_to_end(tmp_path):
     state = train(config=cfg, steps_per_epoch=2, val_steps=1,
                   synthetic_bank=True, mesh=mesh)
     assert int(state.step) == 2
+
+
+def test_train2_driver_end_to_end(tmp_path, shards):
+    import json
+    from PIL import Image
+    from findtextcenternet_tpu.parallel import make_mesh
+    from findtextcenternet_tpu.train.train2 import train as train2
+
+    # synthetic fixdata: one annotated page
+    fx = tmp_path / "fixdata"
+    fx.mkdir()
+    img = np.full((200, 200), 255, np.uint8)
+    img[80:120, 40:80] = 0
+    Image.fromarray(img).convert("L").save(fx / "page.png")
+    with open(fx / "page.json", "w", encoding="utf-8") as f:
+        json.dump({"textbox": [
+            {"cx": 60, "cy": 100, "w": 40, "h": 40, "text": "A",
+             "p_code1": 0, "p_code2": 0, "p_code4": 0, "p_code8": 0},
+        ]}, f)
+
+    cfg = _tiny_cfg(tmp_path, "r2")
+    mesh = make_mesh(n_data=2, n_model=1)
+    state = train2(str(fx), shards=shards, config=cfg, steps_per_epoch=2,
+                   num_workers=1, mesh=mesh, decoder_only=False)
+    assert int(state.step) == 4  # 2 fix + 2 stream steps
