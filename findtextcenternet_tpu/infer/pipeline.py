@@ -189,7 +189,8 @@ class OCRPipeline:
     # stage 1: tiled detection
     # ------------------------------------------------------------------
 
-    def run_detector(self, img: np.ndarray) -> DetectedPage:
+    def run_detector(self, img: np.ndarray,
+                     twopass: bool = False) -> DetectedPage:
         ic = self.cfg.inference
         tile = ic.tile_size
         step = int(tile * ic.stride_ratio)
@@ -199,6 +200,42 @@ class OCRPipeline:
         img = np.pad(img, [[0, pady], [0, padx], [0, 0]],
                      constant_values=255)
         H, W = img.shape[:2]
+
+        # two-pass: a whole-page low-resolution pre-pass catches characters
+        # larger than one tile; its detections (scaled back) are merged
+        # before dedup (`/root/reference/test_image1_torch.py:313-333`)
+        pre_locs, pre_feats = [], []
+        if twopass and (W / step > 2 or H / step > 2):
+            s = max(W, H) / tile
+            from PIL import Image as PILImage
+            im1 = np.asarray(PILImage.fromarray(img).resize(
+                (int(W / s), int(H / s)), PILImage.Resampling.BILINEAR))
+            p1x = max(0, tile - im1.shape[1])
+            p1y = max(0, tile - im1.shape[0])
+            im1 = np.pad(im1, [[0, p1y], [0, p1x], [0, 0]],
+                         constant_values=255)
+            B = ic.detector_batch
+            chunk = [im1.astype(np.float32) / 255.0]
+            chunk += [np.zeros_like(chunk[0])] * (B - 1)
+            ms1 = tile // SCALE
+            masks1 = [np.ones((ms1, ms1), bool)] +                 [np.zeros((ms1, ms1), bool)] * (B - 1)
+            peaks, _ = self._detect(self.det_vars,
+                                    jnp.asarray(np.stack(chunk)),
+                                    jnp.asarray(np.stack(masks1)))
+            peaks = {k: np.asarray(v) for k, v in peaks.items()}
+            for pi in np.where(peaks["valid"][0])[0]:
+                w0 = float(peaks["w"][0, pi]) * s
+                h0 = float(peaks["h"][0, pi]) * s
+                if w0 <= 0 or h0 <= 0 or w0 > W or h0 > H:
+                    continue
+                ix = int(peaks["x"][0, pi]) * SCALE * s
+                iy = int(peaks["y"][0, pi]) * SCALE * s
+                if ix >= W or iy >= H:   # padded blank region of im1
+                    continue
+                pre_locs.append(np.array(
+                    [peaks["score"][0, pi], ix, iy, w0, h0,
+                     *peaks["codes"][0, pi]], np.float32))
+                pre_feats.append(peaks["feature"][0, pi])
         mh, mw = H // SCALE, W // SCALE
         ms = tile // SCALE
 
@@ -268,6 +305,8 @@ class OCRPipeline:
                          *peaks["codes"][bi, pi]], np.float32))
                     glyphfeats.append(peaks["feature"][bi, pi])
 
+        locations = pre_locs + locations
+        glyphfeats = pre_feats + glyphfeats
         if not locations:
             return DetectedPage(np.zeros((0, 9), np.float32),
                                 np.zeros((0, FEATURE_DIM), np.float32),
@@ -645,7 +684,8 @@ class OCRPipeline:
 
     # ------------------------------------------------------------------
 
-    def __call__(self, image: np.ndarray, resize: float = 1.0) -> Dict:
+    def __call__(self, image: np.ndarray, resize: float = 1.0,
+                 twopass: bool = False) -> Dict:
         """Full OCR of an RGB uint8 page image."""
         if resize != 1.0:
             from PIL import Image as PILImage
@@ -654,7 +694,7 @@ class OCRPipeline:
                               int(pim.height * resize)),
                              PILImage.Resampling.BILINEAR)
             image = np.asarray(pim)
-        page = self.run_detector(image)
+        page = self.run_detector(image, twopass=twopass)
         if len(page.locations) == 0:
             return {"box": [], "line": [], "block": [], "text": ""}
         detected = self.run_line_engine(page)
@@ -668,10 +708,10 @@ class OCRPipeline:
 
 
 def ocr_file(path: str, pipeline: OCRPipeline, resize: float = 1.0,
-             save_json: bool = True) -> Dict:
+             save_json: bool = True, twopass: bool = False) -> Dict:
     from PIL import Image as PILImage
     img = np.asarray(PILImage.open(path).convert("RGB"))
-    out = pipeline(img, resize)
+    out = pipeline(img, resize, twopass=twopass)
     if save_json:
         with open(path + ".json", "w", encoding="utf-8") as f:
             json.dump(out, f, ensure_ascii=False, indent=1)

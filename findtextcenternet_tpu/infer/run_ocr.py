@@ -27,6 +27,7 @@ def main(argv=None):
     model_size = "xl"
     model_pt, model3_pt = "model.pt", "model3.pt"
     random_weights = False
+    twopass = False
     files = []
     for a in argv:
         if a.startswith("--resize="):
@@ -39,6 +40,8 @@ def main(argv=None):
             model3_pt = a.split("=", 1)[1]
         elif a == "--random-weights":
             random_weights = True
+        elif a == "--twopass":
+            twopass = True
         elif a == "--tiny":
             model_size = "tiny"
             random_weights = True
@@ -66,7 +69,7 @@ def main(argv=None):
 
     for f in files:
         print(f"== {f}")
-        out = ocr_file(f, pipeline, resize)
+        out = ocr_file(f, pipeline, resize, twopass=twopass)
         print(decode_ruby(out["text"], "aozora"))
     return 0
 

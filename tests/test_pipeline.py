@@ -77,3 +77,16 @@ def test_build_feature_stream_separators():
     assert len(sep_rows) == 3
     for i in sep_rows:
         assert stream[i, -1] == 5.0
+
+
+def test_twopass_detection(tiny_pipeline):
+    """Two-pass: big page triggers a low-res pre-pass whose detections
+    merge with the tiled pass."""
+    img = np.full((700, 900, 3), 255, np.uint8)
+    img[300:400, 200:300] = 0   # a big "character"
+    page = tiny_pipeline.run_detector(img, twopass=True)
+    # structure contract holds; coordinates stay within the padded page
+    # (900x700 pads to 1021x715 at tile 256 / stride 153)
+    if len(page.locations):
+        assert (page.locations[:, 1] <= 1021).all()
+        assert (page.locations[:, 2] <= 715).all()
