@@ -43,12 +43,14 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int,
     ah = jnp.asarray(_interp_matrix(h, out_h), dtype=dtype or x.dtype)
     aw = jnp.asarray(_interp_matrix(w, out_w), dtype=dtype or x.dtype)
     # (B,H,W,C) -> (B,out_h,W,C) -> (B,out_h,out_w,C)
-    # HIGHEST precision: interpolation weights must not round to bf16 on the
-    # MXU (parity with the reference's fp32 bilinear upsample).
-    hi = jax.lax.Precision.HIGHEST
-    x = jnp.einsum("oh,bhwc->bowc", ah, x, precision=hi,
+    # f32 inputs need HIGHEST precision (the MXU would round the
+    # interpolation weights to bf16, breaking parity with the reference's
+    # fp32 bilinear upsample); bf16 inputs are single-pass either way.
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    x = jnp.einsum("oh,bhwc->bowc", ah, x, precision=prec,
                    preferred_element_type=jnp.float32).astype(x.dtype)
-    x = jnp.einsum("ow,bhwc->bhoc", aw, x, precision=hi,
+    x = jnp.einsum("ow,bhwc->bhoc", aw, x, precision=prec,
                    preferred_element_type=jnp.float32).astype(x.dtype)
     return x
 
