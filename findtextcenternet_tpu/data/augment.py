@@ -355,6 +355,37 @@ def colorize(im: np.ndarray, rng: np.random.Generator,
     return colorize_double(im, rng)
 
 
+def random_salt(im: np.ndarray, minsize: float, rng: np.random.Generator,
+                prob: float = 0.1) -> np.ndarray:
+    """Block salt-and-pepper noise scaled to the glyph size
+    (`/root/reference/dataset/data_detector.py:17-27` semantics)."""
+    h, w = im.shape
+    s = min(max(1, int(minsize / 4)), int(rng.integers(1, 16)))
+    shape = ((h + s) // s, (w + s) // s)
+    noise = rng.choice(np.array([0.0, 1.0, np.nan], im.dtype),
+                       p=[prob / 2, 1 - prob, prob / 2], size=shape)
+    noise = np.repeat(np.repeat(noise, s, axis=0), s, axis=1)[:h, :w]
+    return np.nan_to_num(im * noise, nan=1.0)
+
+
+def random_distortion(im: np.ndarray, minsize: float,
+                      rng: np.random.Generator) -> np.ndarray:
+    """Gaussian pixel noise / blur / unsharp sharpening
+    (`/root/reference/dataset/data_detector.py:29-42` semantics)."""
+    from scipy.ndimage import gaussian_filter
+
+    if rng.random() < 0.3:
+        alpha = min(0.4 * rng.random(), 20 / max(1.0, minsize))
+        im = np.clip(im + alpha * rng.normal(size=im.shape), 0, 1)
+    if rng.random() < 0.3:
+        sigma = min(minsize / 8, 1.5 * rng.random())
+        im = np.clip(gaussian_filter(im, sigma=sigma), 0, 1)
+    elif rng.random() < 0.3:
+        blurred = gaussian_filter(im, sigma=5.0)
+        im = np.clip(im + 10.0 * rng.random() * (im - blurred), 0, 1)
+    return im.astype(np.float32)
+
+
 def process_sample(sample: Dict[str, np.ndarray], rng: np.random.Generator,
                    blank_prob: float = 0.01,
                    out_hw: Tuple[int, int] = (IMAGE_HEIGHT, IMAGE_WIDTH)
@@ -372,8 +403,11 @@ def process_sample(sample: Dict[str, np.ndarray], rng: np.random.Generator,
             "labelmap": np.zeros((oh // SCALE, ow // SCALE, 5), np.float32),
             "idmap": np.zeros((oh // SCALE, ow // SCALE, 2), np.int32),
         }
-    img, labelmap, idmap, _ = transform_crop(
+    img, labelmap, idmap, minsize = transform_crop(
         sample["image"], sample["textline"], sample["sepline"],
         sample["position"], sample["code_list"], rng, out_hw=out_hw)
+    if rng.random() < 0.2:
+        img = random_salt(img, minsize, rng, prob=0.2 * rng.random())
     rgb = colorize(img, rng, sample.get("background"))
+    rgb = random_distortion(rgb, minsize, rng)
     return {"image": rgb, "labelmap": labelmap, "idmap": idmap}

@@ -104,3 +104,18 @@ def test_shard_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(back[4]["image.png"],
                                   samples[4]["image.png"])
     assert back[1]["txt"] == "sample 1"
+
+
+def test_random_salt_and_distortion(rng):
+    from findtextcenternet_tpu.data.augment import (
+        random_distortion, random_salt,
+    )
+    im = np.full((64, 64), 0.5, np.float32)
+    out = random_salt(im, 20.0, rng, prob=0.5)
+    assert out.shape == im.shape
+    # salt inserts 0s (pepper) and 1s (salt)
+    assert (out == 0).any() or (out == 1).any()
+    rgb = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    out2 = random_distortion(rgb, 20.0, rng)
+    assert out2.shape == rgb.shape
+    assert out2.min() >= 0 and out2.max() <= 1
