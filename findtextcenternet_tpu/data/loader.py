@@ -105,6 +105,11 @@ class DetectorLoader:
         for p in self._procs:
             if p.is_alive():
                 p.terminate()
+        for p in self._procs:
+            p.join(timeout=2)
+            if p.is_alive():       # blocked in a queue put: force kill
+                p.kill()
+                p.join(timeout=2)
         self._procs = []
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -52,8 +52,9 @@ def detector_train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                                 heatmap, decoder_outputs)
         sub = [metrics[k] for k in DETECTOR_LOSS_NAMES]
         weighted, new_cov, alphas = cov_apply(state.cov, sub)
-        return weighted * loss_scale, (metrics, new_cov,
-                                       updates["batch_stats"])
+        if loss_scale != 1.0:
+            weighted = weighted * loss_scale
+        return weighted, (metrics, new_cov, updates["batch_stats"])
 
     grads, (metrics, new_cov, new_bn) = jax.grad(
         loss_fn, has_aux=True)(state.params)
