@@ -73,22 +73,24 @@ def detect_lines(lineimage: np.ndarray, sepimage: np.ndarray,
 
     lib = _load_lib()
     out = np.zeros((n, 7), dtype=np.int32)
-    p9 = None
+    p10 = None
     if params:
-        defaults = [0.25, 0.75, 0.5, 0.5, 0.4, 0.1, 1.5, 0.5, 0]
+        defaults = [0.25, 0.75, 0.5, 0.5, 0.4, 0.1, 1.5, 0.5, 0, 0.15]
         keys = ["ruby_cutoff", "rubybase_cutoff", "space_cutoff",
                 "emphasis_cutoff", "line_valueth", "sep_valueth",
-                "allowwidth_next_block", "allow_sizediff", "page_divide"]
+                "allowwidth_next_block", "allow_sizediff", "page_divide",
+                "sep_valueth2"]
         vals = [float(params.get(k, d)) for k, d in zip(keys, defaults)]
-        p9 = (ctypes.c_double * 9)(*vals)
-    lib.lineengine_process(
+        p10 = (ctypes.c_double * 10)(*vals)
+    count = lib.lineengine_process(
         lineimage.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         sepimage.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         w, h,
         boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
-        p9,
+        p10,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
-    return out
+    # boxes without a block assignment are dropped by the engine
+    return out[:count].copy()
 
 
 def _detect_subprocess(lineimage, sepimage, boxes, params=None) -> np.ndarray:

@@ -4,11 +4,7 @@
 #include <cstdint>
 #include <vector>
 
-#include "blocks.h"
-#include "chains.h"
-#include "grid.h"
-#include "spaces.h"
-#include "types.h"
+#include "engine.h"
 
 using namespace lineengine;
 
@@ -16,25 +12,28 @@ extern "C" {
 
 // boxes_in: n x 8 f32 (cx, cy, w, h, code1, code2, code4, code8)
 // out:      n x 7 i32 (id, block, idx, subidx, subtype, page, section),
-//           sorted in reading order. Returns n.
+//           sorted in reading order. Returns the surviving row count
+//           (boxes without a block assignment are dropped, mirroring the
+//           reference binary).
 int lineengine_process(const float* lineimg, const float* sepimg,
                        int w, int h, const float* boxes_in, int n,
-                       const double* params9, int32_t* out) {
+                       const double* params10, int32_t* out) {
     Params p;
-    if (params9) {
-        p.ruby_cutoff = params9[0];
-        p.rubybase_cutoff = params9[1];
-        p.space_cutoff = params9[2];
-        p.emphasis_cutoff = params9[3];
-        p.line_valueth = (float)params9[4];
-        p.sep_valueth = (float)params9[5];
-        p.allowwidth_next_block = params9[6];
-        p.allow_sizediff = params9[7];
-        p.page_divide = (int)params9[8];
+    if (params10) {
+        p.ruby_cutoff = params10[0];
+        p.rubybase_cutoff = params10[1];
+        p.space_cutoff = params10[2];
+        p.emphasis_cutoff = params10[3];
+        p.line_valueth = (float)params10[4];
+        p.sep_valueth = (float)params10[5];
+        p.allowwidth_next_block = params10[6];
+        p.allow_sizediff = params10[7];
+        p.page_divide = (int)params10[8];
+        p.sep_valueth2 = (float)params10[9];
     }
 
-    Image line{w, h, std::vector<float>(lineimg, lineimg + (size_t)w * h)};
-    Image sep{w, h, std::vector<float>(sepimg, sepimg + (size_t)w * h)};
+    std::vector<float> line(lineimg, lineimg + (size_t)w * h);
+    std::vector<float> sep(sepimg, sepimg + (size_t)w * h);
 
     std::vector<Box> boxes(n);
     for (int i = 0; i < n; ++i) {
@@ -49,12 +48,12 @@ int lineengine_process(const float* lineimg, const float* sepimg,
         if (b.code4 > p.emphasis_cutoff) b.subtype |= kEmphasis;
     }
 
-    BoolImage sepmask = make_separator_mask(sep, p);
-    LineComponents lc = find_line_components(line, sepmask, p);
-    std::vector<Chain> chains = build_chains(boxes, line, sepmask, lc, p);
-    attach_ruby_and_order(boxes, chains, sepmask, p);
-    make_blocks(boxes, chains, sepmask, p, w * p.scale, h * p.scale);
-    space_check(boxes);
+    Context ctx;
+    ctx.w = w;
+    ctx.h = h;
+    ctx.p = p;
+
+    run_pipeline(ctx, line, sep, boxes);
 
     std::sort(boxes.begin(), boxes.end(), [](const Box& a, const Box& b) {
         if (a.block != b.block) return a.block < b.block;
@@ -62,13 +61,13 @@ int lineengine_process(const float* lineimg, const float* sepimg,
         if (a.subidx != b.subidx) return a.subidx < b.subidx;
         return a.id < b.id;
     });
-    for (int i = 0; i < n; ++i) {
+    for (int i = 0; i < (int)boxes.size(); ++i) {
         const Box& b = boxes[i];
         int32_t* r = out + (size_t)i * 7;
         r[0] = b.id; r[1] = b.block; r[2] = b.idx; r[3] = b.subidx;
         r[4] = b.subtype; r[5] = b.page; r[6] = b.section;
     }
-    return n;
+    return (int)boxes.size();
 }
 
 }  // extern "C"

@@ -1,149 +1,105 @@
-#include "grid.h"
+// Prepare stage: box-id maps and the separator blocker mask.
+// Behavior-equivalent to /root/reference/textline_detect/src/prepare.cpp.
+#include "engine.h"
 
 #include <algorithm>
-#include <cmath>
-#include <queue>
 
 namespace lineengine {
 
-BoolImage make_separator_mask(const Image& sep, const Params& p) {
-    const int w = sep.w, h = sep.h;
-    BoolImage mask{w, h, std::vector<uint8_t>((size_t)w * h, 0)};
+void paint_id_maps(const Context& ctx, const std::vector<Box>& boxes,
+                   std::vector<int>& ids_all, std::vector<int>& ids_main) {
+    // prepare_id_image (prepare.cpp:68-97): boxes whose map-rect pokes
+    // outside the map are skipped entirely; later boxes overwrite earlier.
+    ids_all.assign((size_t)ctx.w * ctx.h, -1);
+    ids_main.assign((size_t)ctx.w * ctx.h, -1);
+    const int s = ctx.p.scale;
+    for (const Box& b : boxes) {
+        int left = (int)((b.cx - b.w / 2) / s);
+        int right = (int)((b.cx + b.w / 2) / s) + 1;
+        int top = (int)((b.cy - b.h / 2) / s);
+        int bottom = (int)((b.cy + b.h / 2) / s) + 1;
+        if (left < 0 || right >= ctx.w || top < 0 || bottom >= ctx.h)
+            continue;
+        for (int y = top; y < bottom; ++y) {
+            for (int x = left; x < right; ++x) {
+                ids_all[ctx.at(x, y)] = b.id;
+                if (!b.is_ruby()) ids_main[ctx.at(x, y)] = b.id;
+            }
+        }
+    }
+}
 
-    // 4-connected components over sep >= sep_valueth
-    std::vector<int> label((size_t)w * h, -1);
-    int ncomp = 0;
-    std::vector<float> comp_sum;
-    std::vector<float> comp_max;
-    std::vector<std::vector<int>> comp_px;
-    for (int y = 0; y < h; ++y) {
-        for (int x = 0; x < w; ++x) {
-            size_t i = (size_t)y * w + x;
-            if (label[i] >= 0 || sep.v[i] < p.sep_valueth) continue;
-            int c = ncomp++;
-            comp_sum.push_back(0.f);
-            comp_max.push_back(0.f);
-            comp_px.emplace_back();
-            std::queue<int> q;
-            q.push((int)i);
-            label[i] = c;
-            while (!q.empty()) {
-                int j = q.front(); q.pop();
-                int jx = j % w, jy = j / w;
-                comp_sum[c] += sep.v[j];
-                comp_max[c] = std::max(comp_max[c], sep.v[j]);
-                comp_px[c].push_back(j);
-                const int dx[4] = {1, -1, 0, 0};
-                const int dy[4] = {0, 0, 1, -1};
-                for (int k = 0; k < 4; ++k) {
-                    int nx = jx + dx[k], ny = jy + dy[k];
-                    if (nx < 0 || nx >= w || ny < 0 || ny >= h) continue;
-                    size_t ni = (size_t)ny * w + nx;
-                    if (label[ni] >= 0 || sep.v[ni] < p.sep_valueth) continue;
-                    label[ni] = c;
-                    q.push((int)ni);
+namespace {
+
+// 4-connected labeling over a boolean mask, row-major seed order, DFS
+// (search_connection, prepare.cpp:6-66). Returns the cluster count.
+int label_components(const Context& ctx, const std::vector<bool>& mask,
+                     std::vector<int>& labels) {
+    labels.assign(mask.size(), -1);
+    int count = 0;
+    for (size_t seed = 0; seed < mask.size(); ++seed) {
+        if (!mask[seed] || labels[seed] >= 0) continue;
+        std::vector<size_t> stack{seed};
+        while (!stack.empty()) {
+            size_t i = stack.back();
+            stack.pop_back();
+            if (labels[i] >= 0 || !mask[i]) continue;
+            labels[i] = count;
+            int x = (int)(i % ctx.w), y = (int)(i / ctx.w);
+            if (x > 0) stack.push_back(i - 1);
+            if (y > 0) stack.push_back(i - ctx.w);
+            if (x + 1 < ctx.w) stack.push_back(i + 1);
+            if (y + 1 < ctx.h) stack.push_back(i + ctx.w);
+        }
+        ++count;
+    }
+    return count;
+}
+
+}  // namespace
+
+std::vector<bool> make_blocker(const Context& ctx,
+                               const std::vector<float>& sep) {
+    // make_lineblocker (prepare.cpp:99-170): threshold strictly above
+    // sep_valueth; drop clusters whose summed value is under
+    // sep_clusterth; then hysteresis-grow each surviving pixel at 10% of
+    // its own value over an 8-neighborhood.
+    std::vector<bool> blocker(sep.size(), false);
+    for (size_t i = 0; i < sep.size(); ++i)
+        if (sep[i] > ctx.p.sep_valueth) blocker[i] = true;
+
+    std::vector<int> labels;
+    int count = label_components(ctx, blocker, labels);
+    std::vector<double> weight(count, 0.0);
+    for (size_t i = 0; i < sep.size(); ++i)
+        if (labels[i] >= 0) weight[labels[i]] += sep[i];
+    for (size_t i = 0; i < sep.size(); ++i)
+        if (labels[i] >= 0 && weight[labels[i]] < ctx.p.sep_clusterth)
+            blocker[i] = false;
+
+    std::vector<size_t> seeds;
+    for (size_t i = 0; i < sep.size(); ++i)
+        if (blocker[i]) seeds.push_back(i);
+    for (size_t seed : seeds) {
+        const float th = sep[seed] * 0.1f;
+        std::vector<size_t> stack{seed};
+        while (!stack.empty()) {
+            size_t i = stack.back();
+            stack.pop_back();
+            if (sep[i] < th) continue;
+            blocker[i] = true;
+            int x0 = (int)(i % ctx.w), y0 = (int)(i / ctx.w);
+            for (int y = y0 - 1; y <= y0 + 1; ++y) {
+                for (int x = x0 - 1; x <= x0 + 1; ++x) {
+                    if (!ctx.inside(x, y)) continue;
+                    size_t j = ctx.at(x, y);
+                    if (blocker[j] || sep[j] < th) continue;
+                    stack.push_back(j);
                 }
             }
         }
     }
-
-    // keep strong components; hysteresis-grow them at 10% of seed max
-    for (int c = 0; c < ncomp; ++c) {
-        if (comp_sum[c] < p.sep_clusterth) continue;
-        float grow_th = comp_max[c] * 0.1f;
-        std::queue<int> q;
-        for (int j : comp_px[c]) {
-            mask.v[j] = 1;
-            q.push(j);
-        }
-        while (!q.empty()) {
-            int j = q.front(); q.pop();
-            int jx = j % w, jy = j / w;
-            const int dx[4] = {1, -1, 0, 0};
-            const int dy[4] = {0, 0, 1, -1};
-            for (int k = 0; k < 4; ++k) {
-                int nx = jx + dx[k], ny = jy + dy[k];
-                if (nx < 0 || nx >= w || ny < 0 || ny >= h) continue;
-                size_t ni = (size_t)ny * w + nx;
-                if (mask.v[ni] || sep.v[ni] < grow_th) continue;
-                mask.v[ni] = 1;
-                q.push((int)ni);
-            }
-        }
-    }
-    return mask;
-}
-
-LineComponents find_line_components(const Image& line,
-                                    const BoolImage& sepmask,
-                                    const Params& p) {
-    const int w = line.w, h = line.h;
-    LineComponents lc;
-    lc.w = w; lc.h = h;
-    lc.label.assign((size_t)w * h, -1);
-
-    auto on = [&](int x, int y) {
-        if (x < 0 || x >= w || y < 0 || y >= h) return false;
-        size_t i = (size_t)y * w + x;
-        return line.v[i] >= p.line_valueth && !sepmask.v[i];
-    };
-
-    for (int y = 0; y < h; ++y) {
-        for (int x = 0; x < w; ++x) {
-            size_t i = (size_t)y * w + x;
-            if (lc.label[i] >= 0 || !on(x, y)) continue;
-            int c = lc.count++;
-            std::vector<int> px;
-            std::queue<int> q;
-            q.push((int)i);
-            lc.label[i] = c;
-            while (!q.empty()) {
-                int j = q.front(); q.pop();
-                px.push_back(j);
-                int jx = j % w, jy = j / w;
-                // 5x5 neighborhood bridges small raster gaps
-                for (int dy = -2; dy <= 2; ++dy) {
-                    for (int dx = -2; dx <= 2; ++dx) {
-                        int nx = jx + dx, ny = jy + dy;
-                        if (!on(nx, ny)) continue;
-                        size_t ni = (size_t)ny * w + nx;
-                        if (lc.label[ni] >= 0) continue;
-                        lc.label[ni] = c;
-                        q.push((int)ni);
-                    }
-                }
-            }
-            // orientation from coordinate covariance (PCA)
-            double mx = 0, my = 0;
-            for (int j : px) { mx += j % w; my += j / w; }
-            mx /= px.size(); my /= px.size();
-            double sxx = 0, syy = 0, sxy = 0;
-            for (int j : px) {
-                double dx = j % w - mx, dy = j / w - my;
-                sxx += dx * dx; syy += dy * dy; sxy += dx * dy;
-            }
-            double theta = 0.5 * std::atan2(2 * sxy, sxx - syy);
-            lc.dir.push_back(theta);
-            lc.vertical.push_back(syy > sxx);
-        }
-    }
-    return lc;
-}
-
-bool crosses_separator(const BoolImage& sepmask, const Params& p,
-                       float x0, float y0, float x1, float y1) {
-    float mx0 = x0 / p.scale, my0 = y0 / p.scale;
-    float mx1 = x1 / p.scale, my1 = y1 / p.scale;
-    float dx = mx1 - mx0, dy = my1 - my0;
-    int steps = (int)std::ceil(std::max(std::fabs(dx), std::fabs(dy)));
-    if (steps == 0) steps = 1;
-    for (int s = 0; s <= steps; ++s) {
-        float t = (float)s / steps;
-        int x = (int)std::lround(mx0 + t * dx);
-        int y = (int)std::lround(my0 + t * dy);
-        if (sepmask.at(x, y)) return true;
-    }
-    return false;
+    return blocker;
 }
 
 }  // namespace lineengine

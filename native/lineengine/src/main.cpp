@@ -8,6 +8,8 @@
 //           cx, cy, w, h, code1, code2, code4, code8 (image pixels)
 //   stdout: u32 count, then per box 7 x i32:
 //           id, block, idx, subidx, subtype, page, section
+//           (boxes left without a block assignment are dropped, so the
+//           output count can be smaller than the input count)
 // Flags: --name=value for every tunable in Params.
 #include <algorithm>
 #include <cstdio>
@@ -16,11 +18,7 @@
 #include <string>
 #include <vector>
 
-#include "blocks.h"
-#include "chains.h"
-#include "grid.h"
-#include "spaces.h"
-#include "types.h"
+#include "engine.h"
 
 using namespace lineengine;
 
@@ -45,6 +43,7 @@ int main(int argc, char** argv) {
         get("sep_valueth2", p.sep_valueth2);
         get("allowwidth_next_block", p.allowwidth_next_block);
         get("allow_sizediff", p.allow_sizediff);
+        get("chain_line_ratio", p.chain_line_ratio);
         get("page_divide", p.page_divide);
         get("scale", p.scale);
     }
@@ -54,12 +53,9 @@ int main(int argc, char** argv) {
     if (fread(&w, 4, 1, stdin) != 1) return 1;
     if (fread(&h, 4, 1, stdin) != 1) return 1;
 
-    Image line{(int)w, (int)h, std::vector<float>((size_t)w * h)};
-    Image sep{(int)w, (int)h, std::vector<float>((size_t)w * h)};
-    if (fread(line.v.data(), 4, line.v.size(), stdin) != line.v.size())
-        return 1;
-    if (fread(sep.v.data(), 4, sep.v.size(), stdin) != sep.v.size())
-        return 1;
+    std::vector<float> line((size_t)w * h), sep((size_t)w * h);
+    if (fread(line.data(), 4, line.size(), stdin) != line.size()) return 1;
+    if (fread(sep.data(), 4, sep.size(), stdin) != sep.size()) return 1;
 
     uint32_t count = 0;
     if (fread(&count, 4, 1, stdin) != 1) return 1;
@@ -80,14 +76,13 @@ int main(int argc, char** argv) {
         if (b.code4 > p.emphasis_cutoff) b.subtype |= kEmphasis;
     }
 
-    // pipeline
-    BoolImage sepmask = make_separator_mask(sep, p);
-    LineComponents lc = find_line_components(line, sepmask, p);
-    std::vector<Chain> chains = build_chains(boxes, line, sepmask, lc, p);
-    attach_ruby_and_order(boxes, chains, sepmask, p);
-    make_blocks(boxes, chains, sepmask, p, (int)w * p.scale,
-                (int)h * p.scale);
-    space_check(boxes);
+    Context ctx;
+    ctx.w = (int)w;
+    ctx.h = (int)h;
+    ctx.run_mode = (int)run_mode;
+    ctx.p = p;
+
+    run_pipeline(ctx, line, sep, boxes);
 
     std::sort(boxes.begin(), boxes.end(), [](const Box& a, const Box& b) {
         if (a.block != b.block) return a.block < b.block;

@@ -104,15 +104,21 @@ def test_ruby_interleaving():
     assert st[0] & 6 == 2
 
 
-def test_space_inference():
+def test_wide_gap_splits_block():
+    # reference-anchored: a gap over 3 char sizes does NOT become a
+    # space; the run after it splits into its own line/block
+    # (reference split_doubleline2, split_doubleline.cpp:75-147;
+    # verified against the reference binary on this exact input)
     line, sep = _page(256, 64)
     line[23:28, 2:62] = 1.0
-    xs = [20, 50, 80, 110, 200, 230]     # big gap before 200 -> space
+    xs = [20, 50, 80, 110, 200, 230]     # big gap before 200
     boxes = [_box(x, 100) for x in xs]
     out = _run(line, sep, boxes)
+    blk = {int(i): int(b) for i, b in zip(out[:, 0], out[:, 1])}
+    assert blk[0] == blk[1] == blk[2] == blk[3]
+    assert blk[4] == blk[5] != blk[0]
     st = {int(i): int(s) for i, s in zip(out[:, 0], out[:, 4])}
-    assert st[4] & 8 == 8       # box at x=200 got the space flag
-    assert st[1] & 8 == 0
+    assert st[4] & 8 == 0 and st[1] & 8 == 0
 
 
 def test_subprocess_protocol_matches_ctypes():

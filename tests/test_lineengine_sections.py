@@ -11,7 +11,12 @@ def built():
         pytest.skip("native line engine not buildable")
 
 
-def test_header_rule_splits_sections():
+def test_header_rule_splits_blocks():
+    # reference-anchored: a full-width rule between two text bands keeps
+    # the bands in separate BLOCKS (the separator stops next/prev line
+    # linking, make_block.cpp:21-205); the reference's "section" field
+    # tracks column layout, not header bands, so both stay section 0
+    # (verified against the reference binary on this exact input).
     w = h = 192
     line = np.zeros((h, w), np.float32)
     sep = np.zeros((h, w), np.float32)
@@ -23,10 +28,12 @@ def test_header_rule_splits_sections():
     boxes = [[30 + 25 * i, 40, 20, 20, 0, 0, 0, 0] for i in range(4)]
     boxes += [[30 + 25 * i, 400, 20, 20, 0, 0, 0, 0] for i in range(4)]
     out = lineengine.detect_lines(line, sep, np.array(boxes, np.float32))
+    blk = {int(i): int(b) for i, b in zip(out[:, 0], out[:, 1])}
+    assert all(blk[i] == blk[0] for i in range(4))
+    assert all(blk[i] == blk[4] for i in range(4, 8))
+    assert blk[0] != blk[4]
     sec = {int(i): int(s) for i, s in zip(out[:, 0], out[:, 6])}
-    # header boxes in section 0, body in section 1
-    assert all(sec[i] == 0 for i in range(4))
-    assert all(sec[i] == 1 for i in range(4, 8))
+    assert all(sec[i] == 0 for i in range(8))
 
 
 def test_page_divide():
