@@ -2,15 +2,18 @@
 
 The reference drives a C++ FreeType subprocess with hand-parsed GSUB
 vertical substitution (`/root/reference/make_traindata/render_font/
-render_font.cpp`). Here rasterization goes through PIL's FreeType binding
-(with libraqm for vertical shaping, which resolves `vert`/`vrt2` features
-natively), giving per-glyph alpha bitmaps + metrics for both orientations,
-plus synthetic oblique (shear) and embolden (stroke) variants.
+render_font.cpp`). Here the primary engine is the in-tree native C++
+TrueType rasterizer (`native/rasterizer`: SFNT/glyf parsing, GSUB
+`vert`/`vrt2` + `liga`, anti-aliased signed-area fill, synthetic
+oblique/embolden) driven in-process via ctypes; PIL's FreeType binding
+remains as a fallback when the native library isn't built.
 """
 from __future__ import annotations
 
+import ctypes
 import dataclasses
 import os
+import subprocess
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -19,6 +22,46 @@ from PIL import Image, ImageDraw, ImageFont
 from PIL import features as pil_features
 
 HAS_RAQM = bool(pil_features.check("raqm"))
+
+_NATIVE_DIR = os.path.abspath(os.path.join(
+    os.path.dirname(__file__), "..", "..", "native", "rasterizer"))
+RASTER_LIB = os.path.join(_NATIVE_DIR, "librasterizer.so")
+GLYPHSERVER_BIN = os.path.join(_NATIVE_DIR, "glyphserver")
+
+_rast_lib = None
+
+
+def _load_rast_lib():
+    global _rast_lib
+    if _rast_lib is None:
+        lib = ctypes.CDLL(RASTER_LIB)
+        lib.rast_open.restype = ctypes.c_void_p
+        lib.rast_open.argtypes = [ctypes.c_char_p, ctypes.c_double,
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.rast_close.argtypes = [ctypes.c_void_p]
+        lib.rast_units_per_em.argtypes = [ctypes.c_void_p]
+        lib.rast_ascent.argtypes = [ctypes.c_void_p]
+        lib.rast_descent.argtypes = [ctypes.c_void_p]
+        lib.rast_has_glyph.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        lib.rast_has_vert.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        lib.rast_glyph.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int]
+        _rast_lib = lib
+    return _rast_lib
+
+
+def build_native_rasterizer() -> bool:
+    """Build the native glyph engine if needed; True when usable."""
+    if os.path.exists(RASTER_LIB) and os.path.exists(GLYPHSERVER_BIN):
+        return True
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+        return True
+    except Exception:
+        return False
 
 
 @dataclasses.dataclass
@@ -33,19 +76,39 @@ class GlyphRasterizer:
     """Rasterize single glyphs with metrics, horizontal and vertical."""
 
     def __init__(self, font_path: str, size: int,
-                 bold: bool = False, italic: bool = False):
+                 bold: bool = False, italic: bool = False,
+                 use_native: bool = True):
         self.font_path = font_path
         self.size = size
         self.bold = bold
         self.italic = italic
         self.font = ImageFont.truetype(font_path, size)
         self._cache: Dict[Tuple[str, bool], Optional[Glyph]] = {}
+        self._native = None
+        self._ascent_px = 0.0
+        if use_native and os.path.exists(RASTER_LIB):
+            try:
+                lib = _load_rast_lib()
+                h = lib.rast_open(font_path.encode(), float(size),
+                                  int(bold), int(italic), 0)
+                if h:
+                    self._native = h
+                    upem = lib.rast_units_per_em(h)
+                    # ceil like PIL/FreeType's rounded face metrics so
+                    # offsets line up with PIL-rendered text
+                    self._ascent_px = float(np.ceil(
+                        lib.rast_ascent(h) * size / upem))
+            except Exception:
+                self._native = None
 
     _cmap = None
 
     def has_glyph(self, ch: str) -> bool:
         """True when the font's cmap really maps the character (a naive
         render test counts .notdef tofu boxes as coverage)."""
+        if self._native is not None:
+            return bool(_load_rast_lib().rast_has_glyph(
+                self._native, ord(ch)))
         if self._cmap is None:
             try:
                 from fontTools.ttLib import TTFont
@@ -65,9 +128,41 @@ class GlyphRasterizer:
         key = (ch, vertical)
         if key in self._cache:
             return self._cache[key]
-        g = self._render(ch, vertical)
+        g = None
+        if self._native is not None:
+            g = self._render_native(ch, vertical)
+        if g is None:
+            g = self._render(ch, vertical)
         self._cache[key] = g
         return g
+
+    def _render_native(self, ch: str, vertical: bool) -> Optional[Glyph]:
+        """Native C++ engine: true GSUB vertical substitution + metrics.
+
+        Horizontal offsets follow PIL's convention (pen at the ascender
+        top-left); vertical offsets are relative to the column center at
+        the glyph's top (vert_bearing_x is typically -width/2).
+        """
+        lib = _load_rast_lib()
+        m = (ctypes.c_int32 * 10)()
+        buf = (ctypes.c_uint8 * (1 << 20))()
+        n = lib.rast_glyph(self._native, ord(ch), int(vertical), m,
+                           buf, 1 << 20)
+        if n < 0:
+            return None
+        rows, width = int(m[0]), int(m[1])
+        if rows * width == 0:
+            return Glyph(np.zeros((0, 0), np.float32), 0.0, 0.0,
+                         float(m[6] / 64.0))
+        bitmap = np.frombuffer(bytes(buf[:n]), np.uint8).astype(
+            np.float32).reshape(rows, width) / 255.0
+        if vertical:
+            return Glyph(bitmap, float(m[7] / 64.0), float(m[8] / 64.0),
+                         float(m[9] / 64.0))
+        off_x = m[4] / 64.0
+        off_y = self._ascent_px - m[5] / 64.0
+        return Glyph(bitmap, float(off_x), float(off_y),
+                     float(m[6] / 64.0))
 
     def _render(self, ch: str, vertical: bool) -> Optional[Glyph]:
         s = self.size

@@ -1,0 +1,140 @@
+"""Native C++ TrueType engine: metrics parity vs PIL, GSUB liga/vert,
+and the reference-compatible glyphserver wire protocol
+(/root/reference/make_traindata/render_font/render_font.cpp:519-596)."""
+import ctypes
+import os
+import struct
+import subprocess
+
+import numpy as np
+import pytest
+
+from findtextcenternet_tpu.factory import rasterizer as R
+
+DEJAVU = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    if not R.build_native_rasterizer():
+        pytest.skip("native rasterizer not buildable")
+    if not os.path.exists(DEJAVU):
+        pytest.skip("no DejaVuSans")
+
+
+def test_advance_matches_pil():
+    from PIL import ImageFont
+    pil = ImageFont.truetype(DEJAVU, 48)
+    rast = R.GlyphRasterizer(DEJAVU, 48)
+    assert rast._native is not None
+    for ch in "AWgj@%0":
+        g = rast.glyph(ch)
+        assert g is not None and g.bitmap.size > 0
+        assert g.advance == pytest.approx(pil.getlength(ch), abs=0.51)
+
+
+def test_ink_agrees_with_pil():
+    """Bitmap ink from the native engine overlaps PIL's render >80%."""
+    from PIL import Image, ImageDraw, ImageFont
+    pil_font = ImageFont.truetype(DEJAVU, 64)
+    rast = R.GlyphRasterizer(DEJAVU, 64)
+    for ch in "AOx":
+        g = rast.glyph(ch)
+        img = Image.new("L", (128, 128), 0)
+        ImageDraw.Draw(img).text((10, 10), ch, fill=255, font=pil_font)
+        pil_arr = np.asarray(img, np.float32) / 255.0
+        native = np.zeros_like(pil_arr)
+        y0 = int(round(10 + g.offset_y))
+        x0 = int(round(10 + g.offset_x))
+        h, w = g.bitmap.shape
+        native[y0:y0 + h, x0:x0 + w] = g.bitmap
+        inter = np.minimum(native, pil_arr).sum()
+        union = np.maximum(native, pil_arr).sum()
+        assert inter / union > 0.8, ch
+
+
+def test_fi_ligature_via_glyphserver():
+    cps = [ord("f"), ord("i"), ord("x")]
+    blob = b"".join(struct.pack("<I", c) for c in cps) + struct.pack(
+        "<I", 0)
+    out = subprocess.run([R.GLYPHSERVER_BIN, DEJAVU, "32", "0"],
+                         input=blob, stdout=subprocess.PIPE,
+                         check=True).stdout
+    consumed = []
+    off = 0
+    while off < len(out):
+        (c,) = struct.unpack_from("<I", out, off)
+        off += 4
+        rows, width = struct.unpack_from("<II", out, off)
+        off += 28 + rows * width
+        if rows * width:
+            r2, w2 = struct.unpack_from("<II", out, off)
+            off += 28 + r2 * w2
+        consumed.append(c)
+    assert consumed == [2, 1]   # "fi" fused into one ligature glyph
+
+
+def _build_vert_font(path):
+    from fontTools.fontBuilder import FontBuilder
+    from fontTools.pens.ttGlyphPen import TTGlyphPen
+
+    fb = FontBuilder(1000, isTTF=True)
+    fb.setupGlyphOrder([".notdef", "A", "A.vert"])
+    fb.setupCharacterMap({0x3042: "A"})   # あ
+
+    def square(x0, y0, x1, y1):
+        pen = TTGlyphPen(None)
+        pen.moveTo((x0, y0))
+        pen.lineTo((x1, y0))
+        pen.lineTo((x1, y1))
+        pen.lineTo((x0, y1))
+        pen.closePath()
+        return pen.glyph()
+
+    fb.setupGlyf({".notdef": square(0, 0, 10, 10),
+                  "A": square(100, 0, 900, 700),        # wide box
+                  "A.vert": square(300, -100, 700, 800)})  # tall box
+    fb.setupHorizontalMetrics({".notdef": (1000, 0),
+                               "A": (1000, 100),
+                               "A.vert": (1000, 300)})
+    fb.setupHorizontalHeader(ascent=880, descent=-120)
+    fb.setupNameTable({"familyName": "VertTest", "styleName": "Regular"})
+    fb.setupOS2()
+    fb.setupPost()
+    fb.addOpenTypeFeatures(
+        "feature vert { sub A by A.vert; } vert;")
+    fb.save(path)
+
+
+def test_gsub_vertical_substitution(tmp_path):
+    font_path = str(tmp_path / "vert_test.ttf")
+    _build_vert_font(font_path)
+
+    lib = R._load_rast_lib()
+    h = lib.rast_open(font_path.encode(), 50.0, 0, 0, 0)
+    assert h
+    assert lib.rast_has_vert(h, 0x3042) == 1
+
+    rast = R.GlyphRasterizer(font_path, 50)
+    hg = rast.glyph("あ", vertical=False)
+    vg = rast.glyph("あ", vertical=True)
+    # horizontal box is wide (800x700 units @50px/1000upem -> 40x35),
+    # the vert substitute is tall (400x900 -> 20x45)
+    assert hg.bitmap.shape[1] > hg.bitmap.shape[0]
+    assert vg.bitmap.shape[0] > vg.bitmap.shape[1]
+    # vertical offsets: centered on the column, top bearing from vmtx-less
+    # synthesis; advance is one em
+    assert vg.advance == pytest.approx(50.0, abs=1.0)
+    assert vg.offset_x < 0
+
+
+def test_oblique_and_embolden():
+    plain = R.GlyphRasterizer(DEJAVU, 48)
+    bold = R.GlyphRasterizer(DEJAVU, 48, bold=True)
+    italic = R.GlyphRasterizer(DEJAVU, 48, italic=True)
+    g0 = plain.glyph("H")
+    gb = bold.glyph("H")
+    gi = italic.glyph("H")
+    assert gb.bitmap.sum() > g0.bitmap.sum() * 1.05   # more ink
+    assert gi.bitmap.shape[1] > g0.bitmap.shape[1]    # sheared wider
+    assert gb.advance > g0.advance                    # widened advance
