@@ -355,6 +355,79 @@ def colorize(im: np.ndarray, rng: np.random.Generator,
     return colorize_double(im, rng)
 
 
+def color_jitter(im: np.ndarray, rng: np.random.Generator,
+                 brightness: float = 0.5, contrast: float = 0.5,
+                 saturation: float = 0.5, hue: float = 0.5) -> np.ndarray:
+    """torchvision-style ColorJitter on a float RGB image in [0, 1].
+
+    Stage-2 finetuning applies ColorJitter(0.5, 0.5, 0.5, 0.5) to every
+    fixdata sample (`/root/reference/train2.py:30,193-204`). Factors are
+    drawn like torchvision: brightness/contrast/saturation uniform in
+    [1-f, 1+f], hue shift uniform in [-h, h] half-turns, applied in a
+    random order.
+    """
+    ops = []
+    if brightness > 0:
+        b = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+        ops.append(lambda x: x * b)
+    if contrast > 0:
+        c = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+
+        def _contrast(x, c=c):
+            # torchvision pivots on the mean of the grayscale image
+            g = (0.299 * x[..., 0] + 0.587 * x[..., 1] +
+                 0.114 * x[..., 2]).mean()
+            return (x - g) * c + g
+        ops.append(_contrast)
+    if saturation > 0:
+        s = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+
+        def _saturate(x, s=s):
+            g = (0.299 * x[..., 0] + 0.587 * x[..., 1] +
+                 0.114 * x[..., 2])[..., None]
+            return (x - g) * s + g
+        ops.append(_saturate)
+    if hue > 0:
+        h = rng.uniform(-hue, hue)
+
+        def _hue(x, h=h):
+            # rotate hue by h half-turns via HSV round trip
+            mx = x.max(axis=-1)
+            mn = x.min(axis=-1)
+            d = mx - mn
+            hch = np.zeros_like(mx)
+            m = d > 1e-12
+            r, g, b = x[..., 0], x[..., 1], x[..., 2]
+            sel = m & (mx == r)
+            hch[sel] = ((g - b)[sel] / d[sel]) % 6
+            sel = m & (mx == g) & (mx != r)
+            hch[sel] = (b - r)[sel] / d[sel] + 2
+            sel = m & (mx == b) & (mx != r) & (mx != g)
+            hch[sel] = (r - g)[sel] / d[sel] + 4
+            hch = (hch / 6.0 + h) % 1.0
+            # HSV -> RGB
+            i = np.floor(hch * 6).astype(int)
+            f = hch * 6 - i
+            sat = np.where(mx > 1e-12, d / np.maximum(mx, 1e-12), 0)
+            v = mx
+            p = v * (1 - sat)
+            q = v * (1 - f * sat)
+            t = v * (1 - (1 - f) * sat)
+            i = i % 6
+            out = np.stack([
+                np.choose(i, [v, q, p, p, t, v]),
+                np.choose(i, [t, v, v, q, p, p]),
+                np.choose(i, [p, p, t, v, v, q]),
+            ], axis=-1)
+            return out
+        ops.append(_hue)
+    order = rng.permutation(len(ops))
+    out = im.astype(np.float32)
+    for k in order:
+        out = ops[int(k)](out)
+    return np.clip(out, 0.0, 1.0)
+
+
 def random_salt(im: np.ndarray, minsize: float, rng: np.random.Generator,
                 prob: float = 0.1) -> np.ndarray:
     """Block salt-and-pepper noise scaled to the glyph size

@@ -17,7 +17,7 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 
-from .augment import colorize, transform_crop
+from .augment import color_jitter, colorize, transform_crop
 
 
 def load_fixdata_item(json_path: str) -> Optional[Dict]:
@@ -114,6 +114,9 @@ class FixDataLoader:
                     item["image"], item["textline"], item["sepline"],
                     item["position"], item["code_list"], self.rng, **kw)
                 rgb = colorize(img, self.rng)
+                # stage-2 applies ColorJitter(0.5 x4) per sample
+                # (/root/reference/train2.py:30,193-204)
+                rgb = color_jitter(rgb, self.rng)
                 batch.append({"image": rgb, "labelmap": labelmap,
                               "idmap": idmap})
             yield {k: np.stack([b[k] for b in batch]) for k in batch[0]}

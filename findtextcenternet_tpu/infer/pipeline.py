@@ -671,15 +671,21 @@ class OCRPipeline:
         for li in outdict["line"]:
             by_block.setdefault(li["blockidx"], []).append(li)
         for b, lis in sorted(by_block.items()):
+            block_text = "\n".join(li["text"] for li in lis)
             outdict["block"].append({
                 "blockidx": b,
                 "x1": min(li["x1"] for li in lis),
                 "y1": min(li["y1"] for li in lis),
                 "x2": max(li["x2"] for li in lis),
                 "y2": max(li["y2"] for li in lis),
-                "text": "\n".join(li["text"] for li in lis),
+                "text": block_text,
+                "aozora": decode_ruby(block_text, "aozora"),
+                "noruby": decode_ruby(block_text, "noruby"),
             })
         outdict["text"] = result_txt
+        # top-level markup variants (process_ocr_base.py:463-465)
+        outdict["aozora"] = decode_ruby(result_txt, "aozora")
+        outdict["noruby"] = decode_ruby(result_txt, "noruby")
         return outdict
 
     # ------------------------------------------------------------------
@@ -696,7 +702,8 @@ class OCRPipeline:
             image = np.asarray(pim)
         page = self.run_detector(image, twopass=twopass)
         if len(page.locations) == 0:
-            return {"box": [], "line": [], "block": [], "text": ""}
+            return {"box": [], "line": [], "block": [], "text": "",
+                    "aozora": "", "noruby": ""}
         detected = self.run_line_engine(page)
         features, feature_idx = self.build_feature_stream(
             detected, page.features)

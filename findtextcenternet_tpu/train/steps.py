@@ -26,7 +26,8 @@ from .state import TrainState
 
 def detector_train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                         fmask_k: int = 1024, loss_scale: float = 1.0,
-                        freeze_detector: bool = False
+                        freeze_detector: bool = False,
+                        accum_steps: int = 1, dropout_seed: int = 0
                         ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One detector training step.
 
@@ -36,28 +37,59 @@ def detector_train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
     (per-source weighting in stage-2 finetuning,
     `/root/reference/train2.py:186-204`); ``freeze_detector`` zeroes the
     detector's gradients (the reference's decoder_only mode).
+    ``accum_steps > 1`` splits the batch into micro-batches whose
+    gradients average into one optimizer update, with BN statistics and
+    CoV state threaded through the micro-batches — the reference's
+    iters_to_accumulate (`/root/reference/train1.py:176-180`).
     """
-    keylabel = batch["labelmap"][..., 0]
-    fmask_idx = topk_fmask(keylabel, fmask_k)
 
-    def loss_fn(params):
-        (heatmap, decoder_outputs), updates = state.apply_fn(
-            {"params": params, "batch_stats": state.batch_stats},
-            batch["image"], fmask_idx, True,
-            mutable=["batch_stats"],
-            rngs={"dropout": jax.random.fold_in(
-                jax.random.PRNGKey(0), state.step)},
-        )
-        metrics = detector_loss(fmask_idx, batch["labelmap"], batch["idmap"],
-                                heatmap, decoder_outputs)
-        sub = [metrics[k] for k in DETECTOR_LOSS_NAMES]
-        weighted, new_cov, alphas = cov_apply(state.cov, sub)
-        if loss_scale != 1.0:
-            weighted = weighted * loss_scale
-        return weighted, (metrics, new_cov, updates["batch_stats"])
+    def micro_grads(params, bn_stats, cov, mb, rng):
+        keylabel = mb["labelmap"][..., 0]
+        fmask_idx = topk_fmask(keylabel, fmask_k)
 
-    grads, (metrics, new_cov, new_bn) = jax.grad(
-        loss_fn, has_aux=True)(state.params)
+        def loss_fn(p):
+            (heatmap, decoder_outputs), updates = state.apply_fn(
+                {"params": p, "batch_stats": bn_stats},
+                mb["image"], fmask_idx, True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            metrics = detector_loss(fmask_idx, mb["labelmap"], mb["idmap"],
+                                    heatmap, decoder_outputs)
+            sub = [metrics[k] for k in DETECTOR_LOSS_NAMES]
+            weighted, new_cov, _alphas = cov_apply(cov, sub)
+            if loss_scale != 1.0:
+                weighted = weighted * loss_scale
+            return weighted, (metrics, new_cov, updates["batch_stats"])
+
+        return jax.grad(loss_fn, has_aux=True)(params)
+
+    base_rng = jax.random.fold_in(jax.random.PRNGKey(dropout_seed),
+                                  state.step)
+    if accum_steps <= 1:
+        grads, (metrics, new_cov, new_bn) = micro_grads(
+            state.params, state.batch_stats, state.cov, batch, base_rng)
+    else:
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps)
+                                + x.shape[1:]), batch)
+
+        def body(carry, xs):
+            grads_acc, cov, bn = carry
+            mb, i = xs
+            g, (m, cov, bn) = micro_grads(
+                state.params, bn, cov, mb, jax.random.fold_in(base_rng, i))
+            grads_acc = jax.tree_util.tree_map(
+                lambda a, b: a + b / accum_steps, grads_acc, g)
+            return (grads_acc, cov, bn), m
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (grads, new_cov, new_bn), stacked = jax.lax.scan(
+            body, (zero, state.cov, state.batch_stats),
+            (micro, jnp.arange(accum_steps)))
+        metrics = jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0),
+                                         stacked)
+
     if freeze_detector and isinstance(grads, dict) and "detector" in grads:
         grads = dict(grads)
         grads["detector"] = jax.tree_util.tree_map(
@@ -102,7 +134,7 @@ def detector_bn_recalib_step(state: TrainState, batch, fmask_k: int = 1024
     return state.replace(batch_stats=updates["batch_stats"])
 
 
-def transformer_train_step(state: TrainState, batch
+def transformer_train_step(state: TrainState, batch, dropout_seed: int = 1
                            ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One transformer training step.
 
@@ -119,7 +151,7 @@ def transformer_train_step(state: TrainState, batch
             {"params": params},
             batch["encoder_input"], batch["decoder_input"], True,
             rngs={"dropout": jax.random.fold_in(
-                jax.random.PRNGKey(1), state.step)},
+                jax.random.PRNGKey(dropout_seed), state.step)},
         )
         metrics = transformer_loss(outputs, batch["decoder_true"], mask)
         return metrics["loss"], metrics

@@ -70,7 +70,9 @@ def train(shards, val_shards=None, config=None, num_workers: int = 4,
 
     fmask_k = config.detector.fmask_topk_per_sample
     train_step = jax.jit(
-        lambda s, b: detector_train_step(s, b, fmask_k=fmask_k))
+        lambda s, b: detector_train_step(
+            s, b, fmask_k=fmask_k, accum_steps=tc.accum_steps,
+            dropout_seed=tc.seed))
     eval_step = jax.jit(
         lambda s, b: detector_eval_step(s, b, fmask_k=fmask_k))
     recalib_step = jax.jit(

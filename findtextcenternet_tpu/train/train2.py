@@ -58,10 +58,10 @@ def train(fixdata_dir, shards=(), config=None, init_from=None,
     # reference's weight1/weight2 and decoder_only
     fix_step = jax.jit(lambda s, b: detector_train_step(
         s, b, fmask_k=fmask_k, loss_scale=weight_fix,
-        freeze_detector=decoder_only))
+        freeze_detector=decoder_only, dropout_seed=tc.seed))
     stream_step = jax.jit(lambda s, b: detector_train_step(
         s, b, fmask_k=fmask_k, loss_scale=weight_stream,
-        freeze_detector=decoder_only))
+        freeze_detector=decoder_only, dropout_seed=tc.seed))
 
     out_hw = config.detector.image_size
     fix_it = iter(FixDataLoader(fixdata_dir, tc.batch_size,

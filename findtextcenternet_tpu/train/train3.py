@@ -89,7 +89,8 @@ def train(features_npz=None, text_files=(), config=None,
                                 seed=tc.seed + 99, enc_len=enc_len,
                                 dec_len=dec_len)
 
-    train_step = jax.jit(transformer_train_step)
+    train_step = jax.jit(
+        lambda s, b: transformer_train_step(s, b, dropout_seed=tc.seed))
     eval_step = jax.jit(transformer_eval_step)
 
     logger = MetricLogger(f"{tc.checkpoint_dir}/logs")

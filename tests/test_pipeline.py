@@ -47,7 +47,8 @@ def test_full_pipeline_runs(tiny_pipeline):
         x = 60 + 70 * i
         img[100:140, x:x + 40] = 0
     out = tiny_pipeline(img)
-    assert set(out) == {"box", "line", "block", "text"}
+    assert set(out) == {"box", "line", "block", "text",
+                    "aozora", "noruby"}
     # random weights: no guarantee about text, but structure must hold
     assert isinstance(out["text"], str)
 

@@ -33,6 +33,7 @@ def tiny_config():
     )
 
 
+@pytest.mark.slow
 def test_detector_train_step_reduces_loss():
     from findtextcenternet_tpu.train.train1 import build_detector_state
     cfg = tiny_config()

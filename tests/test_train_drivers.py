@@ -44,6 +44,7 @@ def _tiny_cfg(tmp_path, ckpt_name):
     )
 
 
+@pytest.mark.slow
 def test_train1_driver_end_to_end(tmp_path, shards):
     from findtextcenternet_tpu.parallel import make_mesh
     from findtextcenternet_tpu.train import checkpoint as ckpt
@@ -66,6 +67,7 @@ def test_train1_driver_end_to_end(tmp_path, shards):
         os.path.join(cfg.train.checkpoint_dir, "logs", "log.jsonl"))
 
 
+@pytest.mark.slow
 def test_train3_driver_end_to_end(tmp_path):
     from findtextcenternet_tpu.parallel import make_mesh
     from findtextcenternet_tpu.train.train3 import train
@@ -77,6 +79,7 @@ def test_train3_driver_end_to_end(tmp_path):
     assert int(state.step) == 2
 
 
+@pytest.mark.slow
 def test_train2_driver_end_to_end(tmp_path, shards):
     import json
     from PIL import Image
