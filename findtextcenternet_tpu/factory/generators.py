@@ -12,6 +12,8 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
+from .charpools import (
+    EN_WORDS_SEED, JP_WORDS_SEED, build_wordlist, weighted_char_sampler)
 from .layout import Canvas
 from .rasterizer import GlyphRasterizer, find_fonts
 
@@ -39,6 +41,12 @@ class PageGenerator:
         self.corpus = list(corpus_texts)
         self._charset = charset
         self._coverage: Dict[str, str] = {}
+        # corpus-ranked wordlists (seeded with common-word lists); the
+        # reference samples word pages from its static 60k/58k wordlists
+        # (`generate_random_txt.py:917-940`, `data/wordlist.txt`)
+        self.jp_words = build_wordlist(self.corpus, "jp") or JP_WORDS_SEED
+        self.en_words = build_wordlist(self.corpus, "en") or EN_WORDS_SEED
+        self._samplers: Dict[str, object] = {}
 
     def _rast(self, size: int, bold=False, italic=False) -> GlyphRasterizer:
         path = self.fonts[int(self.rng.integers(len(self.fonts)))]
@@ -56,8 +64,22 @@ class PageGenerator:
         return self._coverage[key]
 
     def _random_string(self, chars: str, n: int) -> str:
-        idx = self.rng.integers(0, len(chars), n)
-        return "".join(chars[i] for i in idx)
+        """Class-weighted character sampling: common kana/kanji dominate
+        like real text (the reference's id_map-class weighting,
+        `generate_random_txt.py:578-676`)."""
+        key = chars if len(chars) < 512 else id(chars)
+        if key not in self._samplers:
+            self._samplers[key] = weighted_char_sampler(chars, self.rng)
+        return self._samplers[key](n)
+
+    def _random_words(self, n_words: int) -> str:
+        """Word-page text from the JP/EN wordlists, space separated."""
+        rng = self.rng
+        use_en = rng.uniform() < 0.4
+        words = self.en_words if use_en else self.jp_words
+        picks = [words[int(rng.integers(len(words)))]
+                 for _ in range(n_words)]
+        return " ".join(picks)
 
     def _random_furigana_text(self, chars: str, groups: int) -> str:
         kana = [c for c in chars if "ぁ" <= c <= "ヿ"] or list(chars)
@@ -132,9 +154,12 @@ class PageGenerator:
             text = self._random_string(chars, int(rng.integers(100, 800)))
             self._flow(canvas, text, rast, ruby_rast, vertical)
         elif kind == "words":
-            words = [self._random_string(chars, int(rng.integers(2, 9)))
-                     for _ in range(int(rng.integers(20, 80)))]
-            self._flow(canvas, " ".join(words), rast, ruby_rast, False)
+            text = self._random_words(int(rng.integers(20, 80)))
+            # drop words the font can't render
+            text = " ".join(w for w in text.split()
+                            if all(rast.has_glyph(c) for c in w)) or \
+                self._random_string(chars, 40)
+            self._flow(canvas, text, rast, ruby_rast, False)
         elif kind == "grid":
             canvas.random_grid(chars, rast,
                                rows=int(rng.integers(3, 8)),
