@@ -76,7 +76,7 @@ class _Importer:
         w = self.take(tkey + ".weight")
         w = np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO (dw same perm)
         self._set(self.params, fpath + ("kernel",), w)
-        if tkey + ".bias" in self.sd:
+        if self.has(tkey + ".bias"):
             self._set(self.params, fpath + ("bias",), self.take(tkey + ".bias"))
 
     def bn(self, tkey: str, fpath):
@@ -86,19 +86,32 @@ class _Importer:
                   self.take(tkey + ".running_mean"))
         self._set(self.batch_stats, fpath + ("var",),
                   self.take(tkey + ".running_var"))
-        self.used.add(tkey + ".num_batches_tracked")
+        self.mark_used(tkey + ".num_batches_tracked")
 
     def linear(self, tkey: str, fpath, bias: bool = True):
         w = self.take(tkey + ".weight")
         self._set(self.params, fpath + ("kernel",), np.transpose(w))
-        if bias and tkey + ".bias" in self.sd:
+        if bias and self.has(tkey + ".bias"):
             self._set(self.params, fpath + ("bias",), self.take(tkey + ".bias"))
 
     def raw(self, tkey: str, fpath):
         self._set(self.params, fpath, self.take(tkey))
 
+    def ln(self, tkey: str, fpath):
+        self._set(self.params, fpath + ("scale",), self.take(tkey + ".weight"))
+        self._set(self.params, fpath + ("bias",), self.take(tkey + ".bias"))
+
+    def embedding(self, tkey: str, fpath):
+        self._set(self.params, fpath + ("embedding",), self.take(tkey))
+
+    def mark_used(self, key: str):
+        self.used.add(key)
+
     def unconsumed(self):
         return sorted(set(self.sd) - self.used)
+
+    def has(self, key: str) -> bool:
+        return key in self.sd
 
 
 def _import_backbone(im: _Importer, tprefix: str, fprefix, model_size: str):
@@ -188,14 +201,13 @@ def _import_mha(im: _Importer, t: str, f, cross: bool):
         im.raw(f"{t}.pos_emb_k.encoding", f + ("pos_emb_k", "table"))
     else:
         # self-attention never uses its k table; mark consumed
-        im.used.add(f"{t}.pos_emb_k.encoding")
+        im.mark_used(f"{t}.pos_emb_k.encoding")
     for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
         im.linear(f"{t}.{p}", f + (p,), bias=False)
 
 
-def _import_ln(im: _Importer, t: str, f):
-    im._set(im.params, f + ("scale",), im.take(f"{t}.weight"))
-    im._set(im.params, f + ("bias",), im.take(f"{t}.bias"))
+def _import_ln(im, t: str, f):
+    im.ln(t, f)
 
 
 def _import_swiglu(im: _Importer, t: str, f):
@@ -221,8 +233,7 @@ def import_transformer(sd: Mapping[str, np.ndarray],
 
     dec = ("decoder",)
     for k in range(len(MODULO_LIST)):
-        im._set(im.params, dec + (f"embed{k}", "embedding"),
-                im.take(f"decoder.embed.{k}.weight"))
+        im.embedding(f"decoder.embed.{k}.weight", dec + (f"embed{k}",))
     im.raw("decoder.pos_emb.encoding", dec + ("pos_emb", "table"))
     _import_ln(im, "decoder.norm", dec + ("norm",))
     for i in range(dims.dec_block_num):
