@@ -1,12 +1,20 @@
-"""Benchmark: detector tiles/sec/chip on the flagship (xl) model.
+"""Benchmark: end-to-end OCR throughput on the flagship (xl) model.
 
-Measures the dominant cost of the OCR pipeline — the EfficientNetV2-XL
-CenterNet detector forward over 768x768 tiles with fused on-device peak
-extraction — in bf16 on the real chip. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Measures the full pipeline at realistic page load — the EfficientNetV2-XL
+CenterNet detector over 768x768 tiles with fused on-device peak
+extraction (bf16, batched), the host stages (contrast filter + IoU dedup,
+native line engine, feature-stream assembly, windowing) under ~1.5k boxes
+per page, and the batched 400-token mask-predict transformer decode —
+and reports effective 768^2-tiles/sec/chip end-to-end. Prints ONE JSON
+line: {"metric", "value", "unit", "vs_baseline", ...per-stage extras}.
 
 Baseline: the driver-set north star of >= 25 tiles/sec/chip end-to-end
 (`BASELINE.json`); vs_baseline = value / 25.
+
+Trained weights are not reachable from this box, so the detector runs
+with random weights for timing and the host stages run on
+factory-layout-like synthetic detections (uniform text grid + duplicate
+candidates), keeping every stage at production load and shape.
 
 Measurement notes: on the 'axon' remote-TPU platform dispatch is fully
 async and ``block_until_ready`` does not wait for remote completion, so
@@ -32,45 +40,130 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 BATCH = 16
 ITERS = 10
 BASELINE_TILES_PER_SEC = 25.0
+PAGE_W, PAGE_H = 2048, 1448     # a two-page book scan
+CHAR = 28                        # glyph size in page pixels
+
+
+def synth_page_and_boxes(rng):
+    """A text-like page + the raw detection candidates it would yield."""
+    img = np.full((PAGE_H, PAGE_W, 3), 235, np.uint8)
+    mh, mw = PAGE_H // 4, PAGE_W // 4
+    lines = np.zeros((mh, mw), np.float32)
+    seps = np.zeros((mh, mw), np.float32)
+    locs = []
+    y = 60
+    while y + CHAR < PAGE_H - 60:
+        x = 80
+        while x + CHAR < PAGE_W - 80:
+            if rng.uniform() < 0.9:
+                img[y:y + CHAR - 6, x:x + CHAR - 6] = rng.integers(0, 60)
+                locs.append([rng.uniform(0.6, 1.0), x + CHAR / 2,
+                             y + CHAR / 2, CHAR * 0.9, CHAR * 0.9,
+                             0, 0, 0, 0])
+                # an overlapping duplicate candidate (dedup load)
+                if rng.uniform() < 0.3:
+                    locs.append([rng.uniform(0.4, 0.6),
+                                 x + CHAR / 2 + rng.uniform(-2, 2),
+                                 y + CHAR / 2 + rng.uniform(-2, 2),
+                                 CHAR * 0.9, CHAR * 0.9, 0, 0, 0, 0])
+            x += int(CHAR * 1.15)
+        lines[(y // 4):(y + CHAR) // 4, 20:(PAGE_W - 80) // 4] = 1.0
+        y += int(CHAR * 1.7)
+    return img, np.asarray(locs, np.float32), lines, seps
 
 
 def main():
-    from findtextcenternet_tpu.models import CenterNetDetection
-    from findtextcenternet_tpu.ops.peaks import extract_peaks
+    from findtextcenternet_tpu.config import Config
+    from findtextcenternet_tpu.infer.pipeline import (
+        DetectedPage, OCRPipeline)
 
-    model = CenterNetDetection(model_size="xl", dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
-    x0 = jnp.zeros((1, 768, 768, 3), dtype=jnp.float32)
-    variables = jax.jit(model.init)(rng, x0)
+    rng = np.random.default_rng(0)
+    pipe = OCRPipeline(Config(), model_size="xl", seed=0)
 
-    @jax.jit
-    def fn(variables, images):
-        heatmap, features = model.apply(variables, images)
-        return extract_peaks(heatmap, features, max_peaks=1024)
+    # ---- stage A: device detector throughput (batched tiles) ----------
+    images = jnp.asarray(rng.uniform(0, 1, (BATCH, 768, 768, 3)),
+                         dtype=jnp.float32)
+    ms = 768 // 4
+    masks = jnp.ones((BATCH, ms, ms), dtype=bool)
 
-    images = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 1, (BATCH, 768, 768, 3)),
-        dtype=jnp.float32)
+    def sync(peaks):
+        return float(np.asarray(peaks["score"][0, 0]))
 
-    def sync(out):
-        return float(np.asarray(out["score"][0, 0]))
-
-    # warmup / compile (sync via readback)
-    sync(fn(variables, images))
-    sync(fn(variables, images))
-
+    sync(pipe._detect(pipe.det_vars, images, masks)[0])
+    sync(pipe._detect(pipe.det_vars, images, masks)[0])
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = fn(variables, images)
-    sync(out)
-    dt = time.perf_counter() - t0
+        peaks, _ = pipe._detect(pipe.det_vars, images, masks)
+    sync(peaks)
+    det_dt = time.perf_counter() - t0
+    det_tiles_per_sec = BATCH * ITERS / det_dt
 
-    tiles_per_sec = BATCH * ITERS / dt
+    # ---- stage B: host pipeline at page load ---------------------------
+    img, raw_locs, lines, seps = synth_page_and_boxes(rng)
+    feats = rng.standard_normal(
+        (len(raw_locs), pipe.cfg.detector.feature_dim)).astype(np.float32)
+
+    codes_map = np.zeros(lines.shape + (4,), np.float32)
+    t0 = time.perf_counter()
+    locs, feats = pipe._filter_boxes(raw_locs, feats, img, lines, seps,
+                                     codes_map)
+    filter_dt = time.perf_counter() - t0
+
+    page = DetectedPage(locations=locs, features=feats, lines=lines,
+                        seps=seps)
+    t0 = time.perf_counter()
+    detected = pipe.run_line_engine(page)
+    line_dt = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    stream, fidx = pipe.build_feature_stream(detected, feats)
+    windows = pipe.split_windows(
+        stream, pipe.transformer.dims.max_enc_seq_len)
+    host_dt = time.perf_counter() - t0
+
+    # ---- stage C: device transformer decode ----------------------------
+    # steady state: the mask-predict graph compiles once per window-batch
+    # shape and is cached across pages
+    pipe.decode_windows(stream, windows)
+    t0 = time.perf_counter()
+    texts = pipe.decode_windows(stream, windows)
+    decode_dt = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    out = pipe.assemble(locs, fidx, windows, texts)
+    asm_dt = time.perf_counter() - t0
+
+    # effective end-to-end throughput for this page. Serial = every stage
+    # in sequence; pipelined = ocr_pages' steady state, where host stages
+    # of page N overlap device work of page N+1 (async dispatch + GIL
+    # release), so a page costs max(device, host) wall-clock.
+    tile, step = 768, int(768 * 0.6)
+    nx = max(1, (PAGE_W - tile) // step + 1)
+    ny = max(1, (PAGE_H - tile) // step + 1)
+    n_tiles = nx * ny
+    device_dt = n_tiles / det_tiles_per_sec + decode_dt
+    host_total = filter_dt + line_dt + host_dt + asm_dt
+    serial = n_tiles / (device_dt + host_total)
+    pipelined = n_tiles / max(device_dt, host_total)
+
     print(json.dumps({
-        "metric": "detector_768px_tiles_per_sec_per_chip",
-        "value": round(tiles_per_sec, 3),
+        "metric": "ocr_e2e_768px_tiles_per_sec_per_chip",
+        "value": round(pipelined, 3),
         "unit": "tiles/s",
-        "vs_baseline": round(tiles_per_sec / BASELINE_TILES_PER_SEC, 3),
+        "vs_baseline": round(pipelined / BASELINE_TILES_PER_SEC, 3),
+        "serial_tiles_per_sec": round(serial, 3),
+        "detector_tiles_per_sec": round(det_tiles_per_sec, 3),
+        "page_tiles": n_tiles,
+        "page_boxes": int(len(locs)),
+        "decode_windows": len(windows),
+        "host_ms": {
+            "filter": round(filter_dt * 1e3, 1),
+            "line_engine": round(line_dt * 1e3, 1),
+            "stream": round(host_dt * 1e3, 1),
+            "assemble": round(asm_dt * 1e3, 1),
+        },
+        "decode_ms": round(decode_dt * 1e3, 1),
+        "out_chars": len(out.get("text", "")),
     }))
 
 

@@ -1,2 +1,2 @@
 from . import lineengine  # noqa: F401
-from .pipeline import OCRPipeline, ocr_file  # noqa: F401
+from .pipeline import OCRPipeline, ocr_file, ocr_pages  # noqa: F401

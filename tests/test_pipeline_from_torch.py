@@ -66,4 +66,5 @@ def test_from_torch_checkpoints(tmp_path):
     img = np.full((256, 256, 3), 255, np.uint8)
     img[100:140, 60:200] = 0
     out = pipe(img)
-    assert set(out) == {"box", "line", "block", "text"}
+    assert set(out) == {"box", "line", "block", "text",
+                    "aozora", "noruby"}
