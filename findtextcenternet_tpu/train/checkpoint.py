@@ -90,3 +90,13 @@ def load_eval_params(path: str) -> Any:
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(path)
     return restored["eval_params"], restored.get("batch_stats")
+
+
+def load_variables(path: str) -> dict:
+    """Inference-ready flax variables from a checkpoint: the schedule-free
+    eval (averaged) params plus BN statistics when present."""
+    eval_params, batch_stats = load_eval_params(path)
+    out = {"params": eval_params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out

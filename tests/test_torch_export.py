@@ -105,3 +105,28 @@ def test_transformer_export_import_roundtrip():
     assert set(a) == set(b)
     for k in a:
         np.testing.assert_array_equal(a[k], b[k], err_msg="/".join(k))
+
+
+def test_convert_onnx_step1_from_checkpoint(tmp_path):
+    """convert_onnx's .pt export drives from a real orbax checkpoint."""
+    import dataclasses
+    torch = pytest.importorskip("torch")
+    from findtextcenternet_tpu.config import Config
+    from findtextcenternet_tpu.export.convert_onnx import (
+        export_torch_checkpoints)
+    from findtextcenternet_tpu.train import checkpoint as ckpt
+    from findtextcenternet_tpu.train.train3 import build_transformer_state
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, transformer=dataclasses.replace(
+            cfg.transformer, embed_dim=32, head_num=4, enc_block_num=1,
+            dec_block_num=1, max_enc_seq_len=8, max_dec_seq_len=8))
+    _, state = build_transformer_state(cfg, mesh=None, seed=0)
+    ckpt.save_checkpoint(str(tmp_path / "r3"), state, cfg)
+
+    written = export_torch_checkpoints(
+        str(tmp_path / "out"), "xl", None, str(tmp_path / "r3"), cfg=cfg)
+    assert "model3.pt" in written
+    ck = torch.load(written["model3.pt"], weights_only=True)
+    assert "decoder.pos_emb.encoding" in ck["model_state_dict"]
