@@ -75,12 +75,15 @@ def train(fixdata_dir, shards=(), config=None, init_from=None,
     running = RunningMetrics()
     for epoch in range(tc.epochs):
         for _ in range(steps_per_epoch):
-            state, m = fix_step(state, shard_batch(next(fix_it), mesh))
-            running.update(m)
+            # reference order per iteration: streamed batch (weight1)
+            # first, then the ColorJittered fixdata batch (weight2)
+            # (`/root/reference/train2.py:180-204`)
             if stream_it is not None:
                 state, m = stream_step(state,
                                        shard_batch(next(stream_it), mesh))
                 running.update(m)
+            state, m = fix_step(state, shard_batch(next(fix_it), mesh))
+            running.update(m)
             if int(state.step) % tc.log_every == 0:
                 logger.log(int(state.step), running.summary())
                 running.reset()

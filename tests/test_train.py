@@ -106,3 +106,40 @@ def test_checkpoint_roundtrip(tmp_path):
 
     eval_params, _ = ckpt.load_eval_params(path)
     assert eval_params is not None
+
+
+def test_loss_scale_scales_gradient_updates():
+    """stage-2 per-source weights: scale 0 must freeze params entirely,
+    and a scaled step must differ from the unscaled one
+    (`/root/reference/train2.py:186-204` semantics)."""
+    from findtextcenternet_tpu.train.train1 import build_detector_state
+    cfg = tiny_config()
+    _, state = build_detector_state(cfg, mesh=None, seed=0)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32),
+        "labelmap": jnp.asarray(
+            rng.uniform(0, 1, (2, 16, 16, 5)), jnp.float32),
+        "idmap": jnp.asarray(rng.integers(0, 100, (2, 16, 16, 2)),
+                             jnp.int32),
+    }
+    step = jax.jit(lambda s, b, w: detector_train_step(
+        s, b, fmask_k=8, loss_scale=w), static_argnums=2)
+    # several steps so the warmup LR is nonzero
+    s0 = s1 = state
+    for _ in range(4):
+        s0, _ = step(s0, batch, 0.0)
+        s1, _ = step(s1, batch, 1.0)
+
+    def flat(tree):
+        return np.concatenate([np.asarray(x).ravel()
+                               for x in jax.tree_util.tree_leaves(tree)])
+
+    base = flat(state.params)
+    d_zero = np.abs(flat(s0.params) - base).max()
+    d_one = np.abs(flat(s1.params) - base).max()
+    # scale 0: only decoupled weight decay moves params (float noise);
+    # scale 1: a real gradient step
+    assert d_zero < 1e-5
+    assert d_one > 100 * max(d_zero, 1e-12)
