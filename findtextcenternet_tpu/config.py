@@ -99,6 +99,8 @@ class TrainConfig:
     accum_steps: int = 1
     warmup_steps: int = 1000
     bn_recalib_batches: int = 50
+    # preemption safety: also checkpoint mid-epoch every N steps (0: off)
+    checkpoint_every_steps: int = 0
     checkpoint_dir: str = "result1"
     log_every: int = 100
     seed: int = 0

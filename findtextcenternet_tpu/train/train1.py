@@ -101,6 +101,11 @@ def train(shards, val_shards=None, config=None, num_workers: int = 4,
                 logger.log(int(state.step),
                            running.summary() | timer.summary())
                 running.reset()
+            if tc.checkpoint_every_steps and \
+                    int(state.step) % tc.checkpoint_every_steps == 0:
+                # preemption-safe mid-epoch save (resume restores the
+                # exact step; BN recalibration still runs at epoch end)
+                ckpt.save_checkpoint(tc.checkpoint_dir, state, config)
 
         # BN recalibration with averaged params before checkpointing
         for _ in range(tc.bn_recalib_batches):

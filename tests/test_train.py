@@ -143,3 +143,24 @@ def test_loss_scale_scales_gradient_updates():
     # scale 1: a real gradient step
     assert d_zero < 1e-5
     assert d_one > 100 * max(d_zero, 1e-12)
+
+
+def test_midepoch_checkpointing(tmp_path):
+    """checkpoint_every_steps writes resumable mid-epoch checkpoints."""
+    from findtextcenternet_tpu.train import checkpoint as ckpt
+    from findtextcenternet_tpu.train.train1 import build_detector_state
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, checkpoint_every_steps=2,
+            checkpoint_dir=str(tmp_path / "ck")))
+    _, state = build_detector_state(cfg, mesh=None, seed=0)
+    # simulate the driver's mid-epoch save points
+    for step in (1, 2, 3, 4):
+        state = state.replace(step=jnp.asarray(step, jnp.int32))
+        if step % cfg.train.checkpoint_every_steps == 0:
+            ckpt.save_checkpoint(cfg.train.checkpoint_dir, state, cfg)
+    latest = ckpt.latest_checkpoint(cfg.train.checkpoint_dir)
+    assert latest is not None and latest.endswith("step_000000004")
+    restored = ckpt.restore_checkpoint(latest, state)
+    assert int(restored.step) == 4
