@@ -658,13 +658,23 @@ class OCRPipeline:
         sp[1:FEATURE_DIM:2] = -5
 
         enc_len = self.transformer.dims.max_enc_seq_len
-        batch = np.zeros((len(windows), enc_len, ENCODER_DIM), np.float32)
+        # pad the window count to a power-of-two bucket so page-to-page
+        # variation reuses compiled decode graphs (all-zero rows make an
+        # empty key mask and decode to PAD)
+        n = len(windows)
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        batch = np.zeros((bucket, enc_len, ENCODER_DIM), np.float32)
         for wi, (_, ci, cj, _) in enumerate(windows):
             batch[wi, 0] = sp
             batch[wi, 1:1 + cj - ci] = features[ci:cj]
             batch[wi, 1 + cj - ci] = -sp
+        # padding rows copy the first window: a fully-masked encoder row
+        # would NaN its attention and defeat the early-exit test
+        batch[n:] = batch[0]
         codes, _ = self._decode(self.tf_vars, jnp.asarray(batch))
-        codes = np.asarray(codes)
+        codes = np.asarray(codes)[:n]
 
         texts = []
         for wi in range(len(windows)):
