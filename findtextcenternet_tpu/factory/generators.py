@@ -120,16 +120,18 @@ class PageGenerator:
             r = rng.uniform()
             if r < 0.15:
                 kind = "furigana"
-            elif r < 0.30:
+            elif r < 0.28:
                 kind = "textline"
-            elif r < 0.60:
+            elif r < 0.55:
                 kind = "chars"
-            elif r < 0.70:
+            elif r < 0.65:
                 kind = "words"
-            elif r < 0.80:
+            elif r < 0.73:
                 kind = "grid"
-            elif r < 0.90:
+            elif r < 0.82:
                 kind = "scatter"
+            elif r < 0.92:
+                kind = "book"
             else:
                 kind = "mixed"
 
@@ -167,6 +169,18 @@ class PageGenerator:
         elif kind == "scatter":
             canvas.random_scatter(chars, rast,
                                   count=int(rng.integers(20, 80)))
+        elif kind == "book":
+            # header + multi-column/section body + footer page number,
+            # the layout the line engine's section logic consumes
+            canvas.header(self._random_string(chars, 10), rast)
+            n_cols = int(rng.integers(2, 4))
+            texts = [self._corpus_text(200) or
+                     self._random_string(chars, int(rng.integers(60, 160)))
+                     for _ in range(n_cols)]
+            canvas.columns(texts, rast, vertical=vertical,
+                           ruby_rast=ruby_rast, top=0.12, bottom=0.9)
+            canvas.header(str(int(rng.integers(1, 400))), ruby_rast,
+                          top=False)
         else:  # mixed: header + body + warichu
             canvas.header(self._random_string(chars, 12), rast)
             text = self._random_string(chars, int(rng.integers(80, 400)))

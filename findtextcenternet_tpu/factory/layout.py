@@ -373,6 +373,47 @@ class Canvas:
         self.draw_line(text[half:], rast_half, x, y + rast_half.size * 0.6)
         self.text_parts.append("\n")
 
+    def columns(self, texts: List[str], rast: GlyphRasterizer,
+                vertical: bool = False, gutter_rule: bool = True,
+                ruby_rast: Optional[GlyphRasterizer] = None,
+                top: float = 0.08, bottom: float = 0.95):
+        """Multi-column / multi-section body (the reference's 段組,
+        `renderer.py` multi-section pages).
+
+        Horizontal text: len(texts) side-by-side column strips, each
+        flowing top-down, optionally divided by vertical rules.
+        Vertical text: stacked horizontal bands (sections), each flowing
+        right-to-left, divided by horizontal rules — the layout the line
+        engine's column-section logic reads.
+        """
+        n = len(texts)
+        size = rast.size
+        y0 = self.height * top
+        y1 = self.height * bottom
+        if not vertical:
+            col_w = (self.width - 2 * size) / n
+            for c, text in enumerate(texts):
+                x = size + c * col_w
+                self.typeset(text, rast, (x, y0), col_w - 1.5 * size,
+                             vertical=False,
+                             max_lines=int((y1 - y0) / (size * 1.6)),
+                             ruby_rast=ruby_rast)
+                if gutter_rule and c + 1 < n:
+                    rx = size + (c + 1) * col_w - size * 0.75
+                    self.draw_separator(rx, y0, rx + 2, y1)
+        else:
+            band_h = (y1 - y0) / n
+            for c, text in enumerate(texts):
+                by = y0 + c * band_h
+                self.typeset(text, rast,
+                             (self.width - 2.5 * size, by + size * 0.5),
+                             band_h - 2 * size, vertical=True,
+                             ruby_rast=ruby_rast)
+                if gutter_rule and c + 1 < n:
+                    ry = y0 + (c + 1) * band_h - size * 0.4
+                    self.draw_separator(size, ry, self.width - size,
+                                        ry + 2)
+
     # ------------------------------------------------------------------
 
     def result(self) -> Dict[str, np.ndarray]:

@@ -201,11 +201,18 @@ class OCRPipeline:
                                   max_peaks=ic.max_peaks_per_tile,
                                   threshold=ic.peak_cutoff,
                                   region_mask=region_masks)
+            # page maps ship to the host as uint8 (4x less transfer over
+            # the device link; 1/255 resolution is far below every
+            # downstream threshold)
+            def q8(x):
+                p = jax.nn.sigmoid(x.astype(jnp.float32))
+                return jnp.round(p * 255).astype(jnp.uint8)
+
             maps = {
-                "keymap": jax.nn.sigmoid(heatmap[..., 0].astype(jnp.float32)),
-                "line": jax.nn.sigmoid(heatmap[..., 3].astype(jnp.float32)),
-                "seps": jax.nn.sigmoid(heatmap[..., 4].astype(jnp.float32)),
-                "codes": jax.nn.sigmoid(heatmap[..., 5:9].astype(jnp.float32)),
+                "keymap": q8(heatmap[..., 0]),
+                "line": q8(heatmap[..., 3]),
+                "seps": q8(heatmap[..., 4]),
+                "codes": q8(heatmap[..., 5:9]),
             }
             return peaks, maps
 
@@ -340,7 +347,8 @@ class OCRPipeline:
                 self.det_vars, jnp.asarray(np.stack(chunk)),
                 jnp.asarray(np.stack(cmask)))
             peaks = {k: np.asarray(v) for k, v in peaks.items()}
-            maps = {k: np.asarray(v) for k, v in maps.items()}
+            maps = {k: np.asarray(v).astype(np.float32) / 255.0
+                    for k, v in maps.items()}
 
             for bi in range(n):
                 x, y = offs[i0 + bi]

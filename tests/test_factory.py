@@ -106,3 +106,20 @@ def test_make_shards_roundtrip(tmp_path):
     s = samples[0]
     assert {"image.png", "textline.png", "sepline.png", "position.npy",
             "code_list.npy", "txt", "__key__"} <= set(s)
+
+
+def test_book_page_columns():
+    """Multi-column book pages: separator rules between columns, boxes in
+    every column strip."""
+    from findtextcenternet_tpu.factory import PageGenerator, find_fonts
+    fonts = [f for f in find_fonts() if "DejaVuSans.ttf" in f]
+    if not fonts:
+        pytest.skip("no fonts")
+    gen = PageGenerator(fonts, width=600, height=600, charset="ABCDEFGH",
+                        seed=3)
+    page = gen.generate(kind="book")
+    assert len(page["position"]) > 20
+    assert page["sepline"].max() > 0          # gutter/header rules drawn
+    # boxes spread over more than half of the page width (multi column)
+    xs = page["position"][:, 0]
+    assert xs.max() - xs.min() > 300
