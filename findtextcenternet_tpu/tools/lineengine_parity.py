@@ -271,6 +271,31 @@ GENERATORS = [
 ]
 
 
+def degrade_maps(page: Page, rng) -> Page:
+    """Make the clean maps look like detector output: probabilistic
+    values, blurred edges, salt noise — the regime real pages live in."""
+    for img in (page._line, page._sep):
+        on = img > 0
+        img *= rng.uniform(0.55, 0.95)
+        # box blur softens the edges like an upsampled sigmoid map
+        p = np.pad(img, 1)
+        img[:] = (p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:] +
+                  p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:] +
+                  p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]) / 9.0
+        img += rng.normal(0, 0.02, img.shape).astype(np.float32)
+        img[on] = np.maximum(img[on], 0.45)
+        np.clip(img, 0, 1, out=img)
+    # jitter the boxes slightly
+    boxes = np.asarray(page.boxes, np.float32)
+    if len(boxes):
+        boxes[:, 0] += rng.normal(0, 0.8, len(boxes))
+        boxes[:, 1] += rng.normal(0, 0.8, len(boxes))
+        boxes[:, 2] *= rng.uniform(0.92, 1.08, len(boxes))
+        boxes[:, 3] *= rng.uniform(0.92, 1.08, len(boxes))
+        page.boxes = boxes.tolist()
+    return page
+
+
 # ---------------------------------------------------------------------------
 # run + score
 # ---------------------------------------------------------------------------
@@ -329,6 +354,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--only", default=None,
                     help="substring filter on generator name")
+    ap.add_argument("--degrade", action="store_true",
+                    help="detector-like noisy maps + box jitter")
     ap.add_argument("--dump-dir", default=None,
                     help="write diverging pages' blobs here")
     args = ap.parse_args()
@@ -349,6 +376,8 @@ def main():
         gfields = np.zeros(6, dtype=int)
         for i in range(n_per):
             page = gen(rng)
+            if args.degrade:
+                page = degrade_maps(page, rng)
             blob = page.blob()
             ref = run_engine(args.ref_bin, blob)
             mine = run_engine(my_bin, blob)
