@@ -104,34 +104,43 @@ def main():
         (len(raw_locs), pipe.cfg.detector.feature_dim)).astype(np.float32)
 
     codes_map = np.zeros(lines.shape + (4,), np.float32)
-    t0 = time.perf_counter()
-    locs, feats = pipe._filter_boxes(raw_locs, feats, img, lines, seps,
-                                     codes_map)
-    filter_dt = time.perf_counter() - t0
+
+    def best_of(fn, repeats=3):
+        # this microVM's CPU timing is noisy (2-4x run-to-run); the
+        # minimum approximates the uncontended stage cost
+        best, result = None, None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            result = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best, result
+
+    filter_dt, (locs, feats) = best_of(
+        lambda: pipe._filter_boxes(raw_locs, feats, img, lines, seps,
+                                   codes_map))
 
     page = DetectedPage(locations=locs, features=feats, lines=lines,
                         seps=seps)
-    t0 = time.perf_counter()
-    detected = pipe.run_line_engine(page)
-    line_dt = time.perf_counter() - t0
+    line_dt, detected = best_of(lambda: pipe.run_line_engine(page))
 
-    t0 = time.perf_counter()
-    stream, fidx = pipe.build_feature_stream(detected, feats)
-    windows = pipe.split_windows(
-        stream, pipe.transformer.dims.max_enc_seq_len)
-    host_dt = time.perf_counter() - t0
+    def stream_stage():
+        stream, fidx = pipe.build_feature_stream(detected, feats)
+        windows = pipe.split_windows(
+            stream, pipe.transformer.dims.max_enc_seq_len)
+        return stream, fidx, windows
+
+    host_dt, (stream, fidx, windows) = best_of(stream_stage)
 
     # ---- stage C: device transformer decode ----------------------------
     # steady state: the mask-predict graph compiles once per window-batch
     # shape and is cached across pages
     pipe.decode_windows(stream, windows)
-    t0 = time.perf_counter()
-    texts = pipe.decode_windows(stream, windows)
-    decode_dt = time.perf_counter() - t0
+    decode_dt, texts = best_of(
+        lambda: pipe.decode_windows(stream, windows))
 
-    t0 = time.perf_counter()
-    out = pipe.assemble(locs, fidx, windows, texts)
-    asm_dt = time.perf_counter() - t0
+    asm_dt, out = best_of(lambda: pipe.assemble(locs, fidx, windows,
+                                                texts))
 
     # effective end-to-end throughput for this page. Serial = every stage
     # in sequence; pipelined = ocr_pages' steady state, where host stages
