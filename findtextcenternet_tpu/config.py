@@ -20,6 +20,9 @@ from . import const
 class DetectorConfig:
     """CenterNet-style text detector."""
     model_size: str = "xl"               # s / m / l / xl
+    # rematerialize backbone blocks in training (activation memory for
+    # ~30% extra FLOPs; lets xl train at batch 32 on one chip)
+    remat: bool = False
     feature_dim: int = const.FEATURE_DIM
     head_conv_dim: int = 192             # Leafmap internal width
     bn_eps_backbone: float = 1e-3

@@ -80,12 +80,14 @@ class CenterNetDetection(nn.Module):
     feature_dim: int = FEATURE_DIM
     bn_eps_backbone: float = 1e-3
     bn_eps_head: float = 1e-5
+    remat: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x * 2.0 - 1.0
         taps = EfficientNetV2(self.model_size, bn_eps=self.bn_eps_backbone,
+                              remat=self.remat,
                               dtype=self.dtype, name="backbone")(x, train)
         maps = []
         for name, dim in zip(HEAD_NAMES, HEAD_DIMS):
@@ -147,11 +149,13 @@ class TextDetectorModel(nn.Module):
     model_size: str = "xl"
     feature_dim: int = FEATURE_DIM
     decoder_mid_dim: int = 2048
+    remat: bool = False
     dtype: Any = None
 
     def setup(self):
         self.detector = CenterNetDetection(
-            self.model_size, self.feature_dim, dtype=self.dtype)
+            self.model_size, self.feature_dim, remat=self.remat,
+            dtype=self.dtype)
         self.decoder = SimpleDecoder(self.decoder_mid_dim, dtype=self.dtype)
 
     def __call__(self, x, fmask_idx, train: bool = False):

@@ -226,9 +226,15 @@ class MBConv(nn.Module):
 
 
 class EfficientNetV2(nn.Module):
-    """Backbone returning the 4 multi-scale taps (1/4, 1/8, 1/16, 1/32)."""
+    """Backbone returning the 4 multi-scale taps (1/4, 1/8, 1/16, 1/32).
+
+    ``remat`` rematerializes each block in the backward pass
+    (jax.checkpoint), trading ~30% more FLOPs for activation memory so
+    the xl backbone trains at the reference's batch 32 on one chip.
+    """
     model_size: str = "xl"
     bn_eps: float = 1e-3
+    remat: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -250,6 +256,8 @@ class EfficientNetV2(nn.Module):
                 in_ch = cfg.in_ch if li == 0 else cfg.out_ch
                 sd = STOCHASTIC_DEPTH_PROB * block_id / total_blocks
                 Block = FusedMBConv if cfg.fused else MBConv
+                if self.remat:
+                    Block = nn.remat(Block, static_argnums=(2,))
                 x = Block(cfg, stride, in_ch, sd, bn_eps=self.bn_eps,
                           dtype=self.dtype,
                           name=f"stage{si}_block{li}")(x, train)

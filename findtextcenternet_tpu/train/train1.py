@@ -27,6 +27,7 @@ def build_detector_state(config, mesh=None, seed: int = 0):
     model = TextDetectorModel(model_size=det.model_size,
                               feature_dim=det.feature_dim,
                               decoder_mid_dim=det.decoder_mid_dim,
+                              remat=getattr(det, "remat", False),
                               dtype=jnp.bfloat16)
     h, w = det.image_size
     img = jnp.zeros((1, h, w, 3), jnp.float32)

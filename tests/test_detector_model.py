@@ -91,3 +91,37 @@ def test_text_detector_model_end_to_end():
     heatmap, outs = model.apply(variables, x, fmask_idx)
     assert heatmap.shape == (1, 32, 32, NUM_HEATMAP_CH)
     assert [o.shape for o in outs] == [(16, m) for m in MODULO_LIST]
+
+
+def test_remat_matches_plain_forward():
+    """remat is numerically transparent (same params, same outputs)."""
+    import jax
+    import numpy as np
+    from findtextcenternet_tpu.models import TextDetectorModel
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (1, 64, 64, 3)), jnp.float32)
+    fidx = jnp.zeros((8,), jnp.int32)
+    plain = TextDetectorModel(model_size="tiny", feature_dim=8,
+                              decoder_mid_dim=32)
+    rem = TextDetectorModel(model_size="tiny", feature_dim=8,
+                            decoder_mid_dim=32, remat=True)
+    v = jax.jit(plain.init)(jax.random.PRNGKey(0), x, fidx)
+    h1, d1 = plain.apply(v, x, fidx)
+    h2, d2 = rem.apply(v, x, fidx)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    for a, b in zip(d1, d2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # gradients flow through the remat path too
+    def loss(params, model):
+        h, _ = model.apply({"params": params,
+                            "batch_stats": v["batch_stats"]}, x, fidx)
+        return jnp.sum(h ** 2)
+
+    g1 = jax.grad(loss)(v["params"], plain)
+    g2 = jax.grad(loss)(v["params"], rem)
+    a = jax.tree_util.tree_leaves(g1)[0]
+    b = jax.tree_util.tree_leaves(g2)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
