@@ -119,3 +119,37 @@ def test_random_salt_and_distortion(rng):
     out2 = random_distortion(rgb, 20.0, rng)
     assert out2.shape == rgb.shape
     assert out2.min() >= 0 and out2.max() <= 1
+
+
+def test_loader_survives_corrupt_shard(tmp_path):
+    """Fault injection: a corrupt tar among good shards is skipped with an
+    error record; batches keep flowing (reference behavior: the
+    downloader/readers swallow-and-retry, SURVEY.md §5)."""
+    from findtextcenternet_tpu.data.loader import DetectorLoader
+    from findtextcenternet_tpu.data.shards import ShardWriter
+
+    good = str(tmp_path / "good_%05d.tar")
+    rng = np.random.default_rng(0)
+    with ShardWriter(good, 4) as w:
+        for i in range(4):
+            w.write({
+                "__key__": f"{i:08d}",
+                "txt": "ab",
+                "image.png": rng.integers(0, 255, (64, 64),
+                                          dtype=np.uint8),
+                "textline.png": np.zeros((32, 32), np.uint8),
+                "sepline.png": np.zeros((32, 32), np.uint8),
+                "position.npy": np.array([[20, 20, 10, 10],
+                                          [40, 40, 10, 10]], np.float32),
+                "code_list.npy": np.array([[65, 0], [66, 0]], np.int32),
+            })
+        shards = list(w.paths)
+    bad = tmp_path / "bad.tar"
+    bad.write_bytes(b"this is not a tar archive")
+
+    loader = DetectorLoader([str(bad)] + shards, batch_size=2,
+                            num_workers=1, seed=0, out_hw=(64, 64))
+    it = iter(loader)
+    batch = next(it)
+    assert batch["image"].shape[0] == 2
+    loader._stop()

@@ -179,3 +179,4 @@ def test_transports_agree_with_custom_params():
     # the thresholds took effect: code2=0.6 > rubybase_cutoff=0.5
     st = {int(i): int(s) for i, s in zip(a[:, 0], a[:, 4])}
     assert st[1] & 8 == 8       # space flag from the lowered cutoff
+
