@@ -263,11 +263,37 @@ def page_short_lines(rng) -> Page:
     return p
 
 
+def page_spread_divide(rng) -> Page:
+    """Two-page spread of vertical columns; run with --page_divide=1."""
+    p = Page(name="spread_divide")
+    p.flags = ["--page_divide=1"]
+    size = int(rng.integers(18, 24))
+    for x0 in (730, 350):                  # right page, then left page
+        x = x0
+        for col in range(4):
+            p.text_line(x, 40, int(rng.integers(8, 13)), size,
+                        vertical=True)
+            x -= int(size * 2.1)
+    return p
+
+
+def page_emphasis(rng) -> Page:
+    """Lines with emphasis-dotted characters (code4)."""
+    p = Page(name="emphasis")
+    size = 24
+    y = 60
+    for _ in range(5):
+        em = tuple(sorted(rng.choice(np.arange(10), 3, replace=False)))
+        p.text_line(50, y, 10, size, emphasis=em)
+        y += int(size * 1.9)
+    return p
+
+
 GENERATORS = [
     page_two_column_double, page_vertical_columns, page_mixed_directions,
     page_sections, page_spaces_and_gaps, page_ruby_heavy,
     page_double_vertical, page_font_size_mix, page_orphans,
-    page_short_lines,
+    page_short_lines, page_spread_divide, page_emphasis,
 ]
 
 
@@ -300,8 +326,9 @@ def degrade_maps(page: Page, rng) -> Page:
 # run + score
 # ---------------------------------------------------------------------------
 
-def run_engine(bin_path, blob):
-    res = subprocess.run([bin_path], input=blob, stdout=subprocess.PIPE,
+def run_engine(bin_path, blob, flags=()):
+    res = subprocess.run([bin_path, *flags], input=blob,
+                         stdout=subprocess.PIPE,
                          stderr=subprocess.DEVNULL, check=True)
     out = res.stdout
     (count,) = struct.unpack_from("<I", out, 0)
@@ -379,8 +406,9 @@ def main():
             if args.degrade:
                 page = degrade_maps(page, rng)
             blob = page.blob()
-            ref = run_engine(args.ref_bin, blob)
-            mine = run_engine(my_bin, blob)
+            flags = getattr(page, "flags", ())
+            ref = run_engine(args.ref_bin, blob, flags)
+            mine = run_engine(my_bin, blob, flags)
             s = score_page(mine, ref)
             gt += s["total"]
             gf += s["full"]
