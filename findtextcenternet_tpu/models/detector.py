@@ -89,13 +89,18 @@ class CenterNetDetection(nn.Module):
         taps = EfficientNetV2(self.model_size, bn_eps=self.bn_eps_backbone,
                               remat=self.remat,
                               dtype=self.dtype, name="backbone")(x, train)
+        # under remat the head cascades recompute in the backward pass
+        # too: with 10 heads of dense 3x3 convs at up to 192^2 they hold
+        # more activation memory than the whole backbone
+        Head = nn.remat(Leafmap, static_argnums=(2,)) if self.remat \
+            else Leafmap
         maps = []
         for name, dim in zip(HEAD_NAMES, HEAD_DIMS):
-            maps.append(Leafmap(dim, bn_eps=self.bn_eps_head,
-                                dtype=self.dtype, name=name)(taps, train))
+            maps.append(Head(dim, bn_eps=self.bn_eps_head,
+                             dtype=self.dtype, name=name)(taps, train))
         heatmap = jnp.concatenate(maps, axis=-1)
-        features = Leafmap(self.feature_dim, bn_eps=self.bn_eps_head,
-                           dtype=self.dtype, name="feature")(taps, train)
+        features = Head(self.feature_dim, bn_eps=self.bn_eps_head,
+                        dtype=self.dtype, name="feature")(taps, train)
         return heatmap, features
 
 
