@@ -336,6 +336,10 @@ class OCRPipeline:
         glyphfeats: List[np.ndarray] = []
 
         B = ic.detector_batch
+        # dispatch every batch up front: jax dispatch is async, so the
+        # device works through the queue while the host merges earlier
+        # batches (the in-order stream keeps results sequential)
+        pending = []
         for i0 in range(0, len(tiles), B):
             chunk = tiles[i0:i0 + B]
             cmask = masks[i0:i0 + B]
@@ -343,9 +347,11 @@ class OCRPipeline:
             if n < B:  # pad to the compiled batch shape
                 chunk = chunk + [np.zeros_like(chunk[0])] * (B - n)
                 cmask = cmask + [np.zeros_like(cmask[0])] * (B - n)
-            peaks, maps = self._detect(
+            pending.append((i0, n, self._detect(
                 self.det_vars, jnp.asarray(np.stack(chunk)),
-                jnp.asarray(np.stack(cmask)))
+                jnp.asarray(np.stack(cmask)))))
+
+        for i0, n, (peaks, maps) in pending:
             peaks = {k: np.asarray(v) for k, v in peaks.items()}
             maps = {k: np.asarray(v).astype(np.float32) / 255.0
                     for k, v in maps.items()}
