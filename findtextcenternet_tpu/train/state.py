@@ -66,11 +66,20 @@ def make_schedule_free_radam(learning_rate: float, warmup_steps: int = 0,
 def create_train_state(apply_fn, variables, tx,
                        num_cov_losses: int = 0) -> TrainState:
     params = variables["params"]
+    # schedule-free optimizers initialize their z sequence as the params
+    # tree, ALIASING the same device buffers; donated train steps
+    # (donate_argnums=0) reject a buffer donated twice, so opt_state
+    # leaves get their own copies here
+    import jax
+
+    opt_state = jax.tree_util.tree_map(
+        lambda x: jnp.array(x, copy=True)
+        if isinstance(x, jax.Array) else x, tx.init(params))
     return TrainState(
         step=jnp.asarray(0, dtype=jnp.int32),
         params=params,
         batch_stats=variables.get("batch_stats"),
-        opt_state=tx.init(params),
+        opt_state=opt_state,
         cov=cov_init(num_cov_losses) if num_cov_losses else None,
         tx=tx,
         apply_fn=apply_fn,
