@@ -15,7 +15,6 @@ import re
 from typing import Dict, Iterable, Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 # parameter paths excluded from quantization (regex on '/'-joined path)

@@ -8,7 +8,7 @@ global arrays from per-host shards.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
