@@ -138,3 +138,56 @@ def test_oblique_and_embolden():
     assert gb.bitmap.sum() > g0.bitmap.sum() * 1.05   # more ink
     assert gi.bitmap.shape[1] > g0.bitmap.shape[1]    # sheared wider
     assert gb.advance > g0.advance                    # widened advance
+
+
+def test_glyphserver_golden_protocol():
+    """Recorded wire-protocol transcript stays byte-stable (fi ligature,
+    plain glyph, space advance-only, unmapped codepoint)."""
+    data = os.path.join(os.path.dirname(__file__), "data")
+    blob = open(os.path.join(data, "glyphserver_dejavu24.in.bin"),
+                "rb").read()
+    expect = open(os.path.join(data, "glyphserver_dejavu24.out.bin"),
+                  "rb").read()
+    out = subprocess.run([R.GLYPHSERVER_BIN, DEJAVU, "24", "0"],
+                         input=blob, stdout=subprocess.PIPE,
+                         check=True).stdout
+    assert out == expect
+
+
+def test_vertical_metrics_from_vmtx(tmp_path):
+    """A font with vhea/vmtx drives vertical advance and top bearing from
+    the table instead of the synthesized em-based fallback."""
+    from fontTools.fontBuilder import FontBuilder
+    from fontTools.pens.ttGlyphPen import TTGlyphPen
+
+    fb = FontBuilder(1000, isTTF=True)
+    fb.setupGlyphOrder([".notdef", "A"])
+    fb.setupCharacterMap({65: "A"})
+    pen = TTGlyphPen(None)
+    pen.moveTo((100, 0))
+    pen.lineTo((900, 0))
+    pen.lineTo((900, 700))
+    pen.lineTo((100, 700))
+    pen.closePath()
+    fb.setupGlyf({".notdef": TTGlyphPen(None).glyph(), "A": pen.glyph()})
+    fb.setupHorizontalMetrics({".notdef": (600, 0), "A": (1000, 100)})
+    fb.setupHorizontalHeader(ascent=800, descent=-200)
+    fb.setupVerticalMetrics({".notdef": (1000, 0), "A": (1500, 120)})
+    fb.setupVerticalHeader(ascent=500, descent=-500)
+    fb.setupNameTable({"familyName": "VmtxTest", "styleName": "Regular"})
+    fb.setupOS2()
+    fb.setupPost()
+    path = str(tmp_path / "vmtx_test.ttf")
+    fb.save(path)
+
+    lib = R._load_rast_lib()
+    h = lib.rast_open(path.encode(), 100.0, 0, 0, 0)
+    assert h
+    m = (ctypes.c_int32 * 10)()
+    buf = (ctypes.c_uint8 * (1 << 18))()
+    n = lib.rast_glyph(h, 65, 1, m, buf, 1 << 18)
+    assert n > 0
+    # vmtx advanceHeight 1500 units @100px/1000upem -> 150px = 9600 in 26.6
+    assert m[9] == pytest.approx(150 * 64, abs=64)
+    # tsb 120 units -> 12px
+    assert m[8] == pytest.approx(12 * 64, abs=64)
