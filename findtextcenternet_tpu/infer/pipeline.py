@@ -540,10 +540,15 @@ class OCRPipeline:
     def build_feature_stream(detected_boxes: np.ndarray,
                              glyphfeatures: np.ndarray
                              ) -> Tuple[np.ndarray, List[Tuple]]:
-        """106-d encoder stream with block/line separator rows.
+        """(feature_dim + 6)-d encoder stream with block/line separator
+        rows (106-d at the reference's feature_dim = 100).
 
-        Mirrors `/root/reference/process_ocr_base.py:114-174`.
+        Mirrors `/root/reference/process_ocr_base.py:114-174`. Dimensions
+        derive from the features so reduced smoke configs work.
         """
+        fdim = glyphfeatures.shape[-1] if glyphfeatures.ndim == 2 \
+            else FEATURE_DIM
+        enc_dim = fdim + 6
         features, feature_idx = [], []
         prev_block, prev_idx, vertical = 0, 0, 0
         for rec in detected_boxes:
@@ -554,16 +559,16 @@ class OCRPipeline:
                 continue
             if prev_block != block:
                 prev_block = block
-                g = np.zeros(ENCODER_DIM, np.float32)
-                g[FEATURE_DIM + 0] = 5 * vertical
+                g = np.zeros(enc_dim, np.float32)
+                g[fdim + 0] = 5 * vertical
                 g[-1] = 5
                 features.append(g)
                 feature_idx.append((-1, -1, -1, -1, -1))
                 prev_idx = -1
             if prev_idx != idx:
                 prev_idx = idx
-                g = np.zeros(ENCODER_DIM, np.float32)
-                g[FEATURE_DIM + 0] = 5 * vertical
+                g = np.zeros(enc_dim, np.float32)
+                g[fdim + 0] = 5 * vertical
                 g[-1] = 5
                 features.append(g)
                 feature_idx.append((-1, -1, -1, -1, -1))
@@ -581,7 +586,7 @@ class OCRPipeline:
             features.append(g)
             feature_idx.append((bid, block, idx, subidx, subtype))
         if not features:
-            return np.zeros((0, ENCODER_DIM), np.float32), []
+            return np.zeros((0, enc_dim), np.float32), []
         return np.stack(features), feature_idx
 
     @staticmethod
@@ -667,9 +672,11 @@ class OCRPipeline:
         """Batched mask-predict over all windows at once."""
         if not windows:
             return []
-        sp = np.zeros(ENCODER_DIM, np.float32)
-        sp[0:FEATURE_DIM:2] = 5
-        sp[1:FEATURE_DIM:2] = -5
+        enc_dim = self.transformer.dims.enc_input_dim
+        fdim = enc_dim - 6
+        sp = np.zeros(enc_dim, np.float32)
+        sp[0:fdim:2] = 5
+        sp[1:fdim:2] = -5
 
         enc_len = self.transformer.dims.max_enc_seq_len
         # pad the window count to a power-of-two bucket so page-to-page
@@ -679,7 +686,7 @@ class OCRPipeline:
         bucket = 1
         while bucket < n:
             bucket *= 2
-        batch = np.zeros((bucket, enc_len, ENCODER_DIM), np.float32)
+        batch = np.zeros((bucket, enc_len, enc_dim), np.float32)
         for wi, (_, ci, cj, _) in enumerate(windows):
             batch[wi, 0] = sp
             batch[wi, 1:1 + cj - ci] = features[ci:cj]

@@ -57,6 +57,22 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, detector=dataclasses.replace(
                 cfg.detector, model_size=model_size))
+    if model_size == "tiny":
+        # true smoke config: small transformer + small tiles so the CPU
+        # compile finishes in seconds
+        cfg = dataclasses.replace(
+            cfg,
+            detector=dataclasses.replace(cfg.detector, feature_dim=8,
+                                         decoder_mid_dim=32),
+            transformer=dataclasses.replace(
+                cfg.transformer, enc_input_dim=8 + 6, embed_dim=32,
+                head_num=4, enc_block_num=1, dec_block_num=1,
+                max_enc_seq_len=32, max_dec_seq_len=32),
+            inference=dataclasses.replace(
+                cfg.inference, tile_size=256, detector_batch=1,
+                max_peaks_per_tile=64),
+            mask_predict=dataclasses.replace(cfg.mask_predict,
+                                             max_rounds=2))
 
     if not random_weights and os.path.exists(model_pt) and \
             os.path.exists(model3_pt):
