@@ -19,8 +19,9 @@ import numpy as np
 _EOF = b"__eof__"
 
 
-def _reader(worker_id: int, shards: List[str], push_addr: str,
-            sub_addr: str, seed: int, process_fn: Callable):
+def _reader(worker_id: int, num_workers: int, shards: List[str],
+            push_addr: str, sub_addr: str, seed: int,
+            process_fn: Callable):
     import zmq
 
     ctx = zmq.Context()
@@ -34,6 +35,7 @@ def _reader(worker_id: int, shards: List[str], push_addr: str,
 
     rng = np.random.default_rng(seed)
     sent = 0
+    consumed = 0  # global consumed count published by the consumer
     for shard in shards:
         try:
             for raw in iter_tar_samples(open_shard_stream(shard)):
@@ -48,19 +50,15 @@ def _reader(worker_id: int, shards: List[str], push_addr: str,
                 out = process_fn(sample, rng)
                 push.send(pickle.dumps(out, protocol=4))
                 sent += 1
-                # backpressure: consumer publishes its consumed count;
-                # sleep while we are >2 samples ahead
-                while True:
+                # Backpressure (reference multi.py:63-72): the consumer
+                # PUBlishes its *global* consumed count; each reader
+                # pauses while its own sent count exceeds its fair share
+                # (global/num_workers) by more than 2.
+                while sent > consumed / num_workers + 2:
                     try:
                         consumed = int(sub.recv(zmq.NOBLOCK))
                     except zmq.Again:
-                        break
-                while sent > getattr(_reader, "_consumed", 0) + 2:
-                    try:
-                        _reader._consumed = int(sub.recv(zmq.NOBLOCK))
-                    except zmq.Again:
                         time.sleep(0.005)
-                        break
         except Exception as e:
             print(f"zmq reader {worker_id}: shard error {e}", flush=True)
     push.send(_EOF)
@@ -99,22 +97,37 @@ class ZmqLoader:
                   for i in range(self.num_workers)]
         for i, chunk in enumerate(chunks):
             p = mpctx.Process(target=_reader,
-                              args=(i, chunk, pull_addr, pub_addr,
+                              args=(i, self.num_workers, chunk,
+                                    pull_addr, pub_addr,
                                     self.seed + i, self.process_fn),
                               daemon=True)
             p.start()
             self._procs.append(p)
 
-        consumed = 0
-        eofs = 0
+        # Exposed on self so tests (and monitoring) can observe transport
+        # state mid-stream.
+        self._pull = pull
+        self._pub = pub
+        self._consumed = 0
+        self._eofs = 0
+        poller = zmq.Poller()
+        poller.register(pull, zmq.POLLIN)
         try:
-            while eofs < self.num_workers:
+            while self._eofs < self.num_workers:
+                if not dict(poller.poll(100)):
+                    # Heartbeat republish: PUB drops messages for not-yet-
+                    # connected SUB sockets (slow joiner), so a reader that
+                    # missed the early counts would block forever while we
+                    # block in recv() — republishing when idle breaks the
+                    # deadlock.
+                    pub.send(str(self._consumed).encode())
+                    continue
                 msg = pull.recv()
                 if msg == _EOF:
-                    eofs += 1
+                    self._eofs += 1
                     continue
-                consumed += 1
-                pub.send(str(consumed).encode())
+                self._consumed += 1
+                pub.send(str(self._consumed).encode())
                 yield pickle.loads(msg)
         finally:
             for p in self._procs:

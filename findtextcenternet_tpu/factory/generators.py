@@ -67,7 +67,10 @@ class PageGenerator:
         """Class-weighted character sampling: common kana/kanji dominate
         like real text (the reference's id_map-class weighting,
         `generate_random_txt.py:578-676`)."""
-        key = chars if len(chars) < 512 else id(chars)
+        # hash() rather than id(): id values can be reused after the
+        # original string is collected, which would serve a sampler built
+        # for a different charset.
+        key = chars if len(chars) < 512 else hash(chars)
         if key not in self._samplers:
             self._samplers[key] = weighted_char_sampler(chars, self.rng)
         return self._samplers[key](n)

@@ -53,15 +53,19 @@ def _load_rast_lib():
 
 
 def build_native_rasterizer() -> bool:
-    """Build the native glyph engine if needed; True when usable."""
-    if os.path.exists(RASTER_LIB) and os.path.exists(GLYPHSERVER_BIN):
-        return True
+    """Build the native glyph engine if needed; True when usable.
+
+    Always invokes make (mtime-aware, so a no-op when up to date) rather
+    than short-circuiting on binary existence — a stale binary relative
+    to src/ttf.cpp would otherwise be served silently.
+    """
     try:
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                        capture_output=True)
         return True
     except Exception:
-        return False
+        return os.path.exists(RASTER_LIB) and os.path.exists(
+            GLYPHSERVER_BIN)
 
 
 @dataclasses.dataclass

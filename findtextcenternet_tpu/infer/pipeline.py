@@ -129,7 +129,11 @@ def batch_hist_contrast(img: np.ndarray, rects: np.ndarray) -> np.ndarray:
     k2 = np.where(live, hi_v / np.maximum(hi_s, 1), 0.0)
     d = np.abs(k1 - k2)
     d_prev = np.full_like(d, 256.0)
-    for _ in range(64):
+    # Iterate to fixpoint like the native hostops path and the reference
+    # imageHist (process_ocr_base.py:652-693).  Lloyd's on a 256-bin 1-D
+    # histogram converges in far fewer steps; the cap is a safety net
+    # against a (theoretical) tie-cycle and is logged if ever hit.
+    for it in range(2048):
         upd = live & (d_prev != d)
         if not upd.any():
             break
@@ -145,6 +149,11 @@ def batch_hist_contrast(img: np.ndarray, rects: np.ndarray) -> np.ndarray:
         k1 = np.where(ok, (v * m1).sum(-1) / np.maximum(s1, 1), k1)
         k2 = np.where(ok, (v * ~m1).sum(-1) / np.maximum(s2, 1), k2)
         d = np.where(ok, np.abs(k1 - k2), d)
+    else:
+        import logging
+        logging.getLogger(__name__).warning(
+            "batch_hist_contrast hit the %d-iteration cap before "
+            "convergence", it + 1)
     dist = np.where(live, d, dist)
     dist[~valid] = 0.0
     return dist.reshape(n, C).max(-1).astype(np.float32)

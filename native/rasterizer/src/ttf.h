@@ -1,7 +1,8 @@
-// Self-contained TrueType glyph engine: SFNT/cmap/glyf parsing, GSUB
-// `vert`/`vrt2` vertical substitution and `liga` ligatures, quadratic
-// outline flattening and an anti-aliased signed-area rasterizer, plus
-// synthetic oblique/embolden.
+// Self-contained TrueType/OpenType glyph engine: SFNT/cmap/glyf parsing,
+// CFF (Type2 charstrings, incl. CID-keyed FDArray/FDSelect — most
+// Japanese OTF fonts), GSUB `vert`/`vrt2` vertical substitution and
+// `liga` ligatures, outline flattening and an anti-aliased signed-area
+// rasterizer, plus synthetic oblique/embolden.
 //
 // Native counterpart of the reference's FreeType subprocess
 // (/root/reference/make_traindata/render_font/render_font.cpp:48-596)
@@ -56,8 +57,12 @@ private:
 
     void parse_cmap();
     void parse_gsub();
+    bool parse_cff();
     bool load_outline(uint32_t gid, std::vector<std::vector<float>>& xs,
                       std::vector<std::vector<float>>& ys, int depth) const;
+    bool load_outline_cff(uint32_t gid,
+                          std::vector<std::vector<float>>& xs,
+                          std::vector<std::vector<float>>& ys) const;
     void glyph_hmetrics(uint32_t gid, int& advance, int& lsb) const;
     void glyph_vmetrics(uint32_t gid, int& advance, int& tsb) const;
 
@@ -73,6 +78,18 @@ private:
     int num_glyphs_ = 0, num_hmetrics_ = 0, num_vmetrics_ = 0;
     bool long_loca_ = false;
     bool has_vmtx_ = false;
+    // CFF ('OTTO') state: offsets into data_ for the charstring INDEX and
+    // subr INDEXes; per-FD local subrs for CID-keyed fonts.
+    bool is_cff_ = false;
+    struct CffIndex {
+        std::vector<uint32_t> offs;      // absolute offsets into data_,
+                                         // count()+1 entries
+        size_t count() const { return offs.empty() ? 0 : offs.size() - 1; }
+    };
+    CffIndex cff_charstrings_, cff_gsubrs_;
+    std::vector<CffIndex> cff_lsubrs_;   // one per FD (single entry when
+                                         // the font is not CID-keyed)
+    std::vector<uint8_t> cff_fdselect_;  // gid -> FD index; empty => FD 0
     double px_size_ = 16.0;
     bool bold_ = false, italic_ = false;
 };

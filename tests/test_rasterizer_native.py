@@ -154,6 +154,81 @@ def test_glyphserver_golden_protocol():
     assert out == expect
 
 
+def _build_cff_font(path, chars="AOgx"):
+    """OTF/CFF fixture: DejaVu outlines re-encoded as Type2 charstrings
+    (the image ships no OTF fonts; Japanese OTFs are CFF-flavoured)."""
+    from fontTools.fontBuilder import FontBuilder
+    from fontTools.pens.t2CharStringPen import T2CharStringPen
+    from fontTools.ttLib import TTFont
+
+    src = TTFont(DEJAVU)
+    gs = src.getGlyphSet()
+    upem = src["head"].unitsPerEm
+    cmap = src.getBestCmap()
+    hmtx = src["hmtx"]
+    names = [".notdef"] + [cmap[ord(c)] for c in chars]
+    fb = FontBuilder(upem, isTTF=False)
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({ord(c): cmap[ord(c)] for c in chars})
+    cs, metrics = {}, {}
+    for n in names:
+        width = hmtx[n][0]
+        pen = T2CharStringPen(width, gs)
+        if n != ".notdef":
+            gs[n].draw(pen)
+        cs[n] = pen.getCharString()
+        metrics[n] = hmtx[n]
+    fb.setupCFF("CFFTest", {}, cs, {})
+    fb.setupHorizontalMetrics(metrics)
+    fb.setupHorizontalHeader(ascent=src["hhea"].ascent,
+                             descent=src["hhea"].descent)
+    fb.setupNameTable({"familyName": "CFFTest", "styleName": "Regular"})
+    fb.setupOS2()
+    fb.setupPost()
+    fb.save(path)
+
+
+def test_cff_outlines_match_truetype(tmp_path):
+    """Type2 charstring interpreter: same glyphs through the CFF path and
+    the glyf path must produce near-identical ink and equal advances."""
+    path = str(tmp_path / "cfftest.otf")
+    _build_cff_font(path)
+    rt = R.GlyphRasterizer(DEJAVU, 64)
+    rc = R.GlyphRasterizer(path, 64)
+    assert rc._native is not None, "native engine rejected the OTF"
+    for ch in "AOgx":
+        gt = rt.glyph(ch)
+        gc = rc.glyph(ch)
+        assert gc is not None and gc.bitmap.size > 0, ch
+        assert gc.advance == pytest.approx(gt.advance, abs=1.0), ch
+        canvas_t = np.zeros((160, 160), np.float32)
+        canvas_c = np.zeros((160, 160), np.float32)
+        for canvas, g in ((canvas_t, gt), (canvas_c, gc)):
+            y0 = int(round(70 + g.offset_y))
+            x0 = int(round(20 + g.offset_x))
+            h, w = g.bitmap.shape
+            canvas[y0:y0 + h, x0:x0 + w] = g.bitmap
+        inter = np.minimum(canvas_t, canvas_c).sum()
+        union = np.maximum(canvas_t, canvas_c).sum()
+        assert inter / union > 0.9, (ch, inter / union)
+
+
+def test_truncated_font_no_crash(tmp_path):
+    """Corrupt/truncated SFNT files must be rejected or rendered
+    best-effort — never read out of bounds (validated offsets)."""
+    data = open(DEJAVU, "rb").read()
+    lib = R._load_rast_lib()
+    m = (ctypes.c_int32 * 10)()
+    buf = (ctypes.c_uint8 * (1 << 18))()
+    for n in (12, 100, 1000, len(data) // 4, len(data) // 2):
+        p = tmp_path / f"trunc{n}.ttf"
+        p.write_bytes(data[:n])
+        h = lib.rast_open(str(p).encode(), 32.0, 0, 0, 0)
+        if h:
+            lib.rast_glyph(h, ord("A"), 0, m, buf, 1 << 18)
+            lib.rast_close(h)
+
+
 def test_vertical_metrics_from_vmtx(tmp_path):
     """A font with vhea/vmtx drives vertical advance and top bearing from
     the table instead of the synthesized em-based fallback."""
