@@ -170,7 +170,17 @@ class DetectedPage:
 class OCRPipeline:
     def __init__(self, config: Config = Config(),
                  detector_variables=None, transformer_variables=None,
-                 model_size: Optional[str] = None, seed: int = 0):
+                 model_size: Optional[str] = None, seed: int = 0,
+                 detector_apply=None, decode_fn=None):
+        """``detector_apply``/``decode_fn`` override the model calls while
+        keeping every pipeline stage intact — the hook the differential
+        parity test uses to run identical nets through this pipeline and
+        the reference's ``process_ocr_base`` oracle.
+
+        detector_apply(variables, images) -> (heatmap (B,H/4,W/4,9),
+        features (B,H/4,W/4,F)); decode_fn(variables, enc_input) ->
+        (codes (B,400), probs).
+        """
         self.cfg = config
         size = model_size or config.detector.model_size
         self.detector = CenterNetDetection(
@@ -188,10 +198,10 @@ class OCRPipeline:
 
         key = jax.random.PRNGKey(seed)
         tile = config.inference.tile_size
-        if detector_variables is None:
+        if detector_variables is None and detector_apply is None:
             detector_variables = self.detector.init(
                 key, jnp.zeros((1, tile, tile, 3)))
-        if transformer_variables is None:
+        if transformer_variables is None and decode_fn is None:
             transformer_variables = self.transformer.init(
                 key, jnp.zeros((1, dims.max_enc_seq_len, dims.enc_input_dim)),
                 jnp.zeros((1, dims.max_dec_seq_len), jnp.int32))
@@ -203,9 +213,11 @@ class OCRPipeline:
         mp = config.mask_predict
         ic = config.inference
 
+        apply_fn = detector_apply or self.detector.apply
+
         @jax.jit
         def _detect(variables, images, region_masks):
-            heatmap, features = self.detector.apply(variables, images)
+            heatmap, features = apply_fn(variables, images)
             peaks = extract_peaks(heatmap, features,
                                   max_peaks=ic.max_peaks_per_tile,
                                   threshold=ic.peak_cutoff,
@@ -227,15 +239,15 @@ class OCRPipeline:
 
         self._detect = _detect
 
-        @jax.jit
-        def _decode(variables, enc_input):
-            return mask_predict(
-                self.transformer, variables, enc_input,
-                max_rounds=mp.max_rounds, topk=mp.topk,
-                remask_threshold=mp.remask_threshold,
-                early_stop_threshold=mp.early_stop_threshold)
+        if decode_fn is None:
+            def decode_fn(variables, enc_input):
+                return mask_predict(
+                    self.transformer, variables, enc_input,
+                    max_rounds=mp.max_rounds, topk=mp.topk,
+                    remask_threshold=mp.remask_threshold,
+                    early_stop_threshold=mp.early_stop_threshold)
 
-        self._decode = _decode
+        self._decode = jax.jit(decode_fn)
 
     # ------------------------------------------------------------------
     @classmethod
