@@ -142,6 +142,41 @@ def main():
     asm_dt, out = best_of(lambda: pipe.assemble(locs, fidx, windows,
                                                 texts))
 
+    # ---- stage D: static-int8 detector artifact -------------------------
+    # per-channel int8 weights (reference head exclusions) + boundary
+    # QDQ; reports throughput and the accuracy delta vs the bf16 path
+    int8_stats = {}
+    if os.environ.get("BENCH_INT8", "1") != "0":
+        from findtextcenternet_tpu.export.quantize import (
+            build_int8_detector, calibrate_detector)
+
+        b8 = 8
+        imgs8 = images[:b8]
+        cal = calibrate_detector(pipe.detector, pipe.det_vars, [imgs8])
+        int8_fn, qvars = build_int8_detector(pipe.detector, pipe.det_vars,
+                                             cal)
+        jfn = jax.jit(int8_fn)
+        raw = jax.jit(lambda v, x: pipe.detector.apply(v, x))
+
+        def syncd(r):
+            return float(np.asarray(r[0][0, 0, 0, 0], np.float32))
+
+        hq, _ = jfn(qvars, imgs8)
+        hf, _ = raw(pipe.det_vars, imgs8)
+        syncd((hq,))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            r8 = jfn(qvars, imgs8)
+        syncd(r8)
+        int8_dt = time.perf_counter() - t0
+        hqn, hfn_ = np.asarray(hq, np.float32), np.asarray(hf, np.float32)
+        rms = float(np.sqrt(np.mean(hfn_ ** 2))) or 1.0
+        int8_stats = {
+            "int8_detector_tiles_per_sec": round(b8 * ITERS / int8_dt, 3),
+            "int8_heatmap_rel_delta": round(
+                float(np.max(np.abs(hqn - hfn_))) / rms, 4),
+        }
+
     # effective end-to-end throughput for this page. Serial = every stage
     # in sequence; pipelined = ocr_pages' steady state, where host stages
     # of page N overlap device work of page N+1 (async dispatch + GIL
@@ -173,6 +208,7 @@ def main():
         },
         "decode_ms": round(decode_dt * 1e3, 1),
         "out_chars": len(out.get("text", "")),
+        **int8_stats,
     }))
 
 

@@ -178,105 +178,574 @@ def mask_input(true_codes: np.ndarray, rng: np.random.Generator
 _HIRAGANA = [chr(c) for c in range(0x3041, 0x3097)]
 _KATAKANA = [chr(c) for c in range(0x30A1, 0x30FB)]
 
+# character class pools standing in for the reference's id_map.csv classes
+# (`/root/reference/dataset/data_transformer.py:60-67`; the shipped CSV
+# cannot be copied, so the pools come from `factory.charpools` + Unicode
+# ranges). Class keys follow the reference: 3=hiragana, 4=katakana,
+# 5=common kanji, 8/9/10=rarer kanji tiers.
+def _jp_pools():
+    from ..factory.charpools import KANJI_COMMON
+    common = list(KANJI_COMMON)
+    common_set = set(common)
+    rare = [chr(c) for c in range(0x4E00, 0x9FA0)
+            if chr(c) not in common_set]
+    third = len(rare) // 3
+    return {
+        3: _HIRAGANA,
+        4: _KATAKANA,
+        5: common,
+        8: rare[:third],
+        9: rare[third:2 * third],
+        10: rare[2 * third:],
+    }
+
+
+_JP = _jp_pools()
+_DW1 = list("ＡＢＣＤＥＦＧＨＩＪＫＬＭＮＯＰＱＲＳＴＵＶＷＸＹＺ")
+_DW2 = list("ａｂｃｄｅｆｇｈｉｊｋｌｍｎｏｐｑｒｓｔｕｖｗｘｙｚ")
+_ASCII_WORD = list("abcdefghijklmnopqrstuvwxyz")
+
+
+def skip_remainruby(txt: str) -> str:
+    """Drop a leading ruby tail cut mid-group
+    (`/root/reference/dataset/data_transformer.py:69-75`)."""
+    idx2 = txt.find("￻")
+    if idx2 >= 0:
+        idx1 = txt.find("￹")
+        if idx1 < 0 or idx1 > idx2:
+            return txt[idx2 + 1:]
+    return txt
+
+
+def find_splitpoint(txt: str, start: int = 0,
+                    split_count: int = -1) -> int:
+    """Next line-split position that never cuts a ruby group
+    (`/root/reference/dataset/data_transformer.py:77-96`)."""
+    if split_count == 0:
+        return start
+    i = start
+    if split_count < 0:
+        split_count = len(txt) - i
+    idx0 = txt.find("\n", i, i + split_count)
+    if idx0 >= 0:
+        return idx0 + 1
+    idx1 = txt.find("￹", i, i + split_count)
+    if idx1 < 0:
+        idx4 = txt.find(" ", max(i, i + split_count - 10),
+                        i + split_count)
+        if idx4 < 0:
+            return min(i + split_count + 1, len(txt))
+        return idx4 + 1
+    idx3 = txt.find("￻", idx1)
+    if idx3 < 0:
+        return min(i + split_count + 1, len(txt))
+    if idx3 + 1 >= i + split_count:
+        return idx3 + 1
+    return find_splitpoint(txt, start=idx3 + 1,
+                           split_count=i + split_count - idx3)
+
+
+def split_lines(txt: str, out_count: int, split_count: int) -> str:
+    """Reflow into split_count-ish lines up to out_count chars — the
+    shared tail of the reference's text generators
+    (`data_transformer.py:252-264,619-633`)."""
+    outtxt = ""
+    i = 0
+    while i < len(txt):
+        j = find_splitpoint(txt, i, split_count)
+        if j <= i:
+            break
+        if outtxt and j > out_count:
+            break
+        if txt[j - 1] == " ":
+            outtxt += txt[i:j - 1] + "\n"
+        else:
+            outtxt += txt[i:j] + ("" if txt[j - 1] == "\n" else "\n")
+        i = j
+        if i > out_count:
+            break
+    return outtxt
+
+
+def _adjust_out_count(txt: str, out_count: int) -> int:
+    """Whitespace/ruby-marker budget correction
+    (`data_transformer.py:246-251`)."""
+    for j in range(min(out_count, len(txt))):
+        if txt[j] in UNICODE_WHITESPACE:
+            out_count -= 1
+        if txt[j] == "￹":
+            out_count -= 3
+    return out_count
+
 
 def random_text(bank: FeatureBank, rng: np.random.Generator,
                 max_len: Optional[int] = None) -> str:
-    """Random codepoint string from the bank's coverage."""
-    n = int(rng.integers(1, max_len or (MAX_DECODER_LEN - 2)))
-    codes = bank.codes or [0x3042]
+    """Random covered-codepoint lines, reference line structure
+    (`/root/reference/dataset/data_transformer.py:636-658`)."""
+    max_len = max_len or (MAX_DECODER_LEN - 2)
+    if rng.uniform() < 0.75:
+        out_count = max_len
+    else:
+        out_count = int(rng.integers(1, max_len))
+    split_count = int(rng.integers(20, 80))
+    codes = bank.hcodes or bank.codes or [0x3042]
     out = []
-    for _ in range(n):
-        c = codes[int(rng.integers(len(codes)))]
-        out.append(chr(c))
-        if rng.uniform() < 0.05:
-            out.append("\n")
+    i = 0
+    while i < out_count:
+        if i > 0 and i + split_count + 1 >= out_count:
+            break
+        out.append("".join(chr(codes[int(k)]) for k in
+                           rng.integers(0, len(codes), split_count)))
+        out.append("\n")
+        i += split_count + 1
     return "".join(out)
 
 
-def random_furigana(bank: FeatureBank, rng: np.random.Generator,
+def _pick(rng, pool, n) -> str:
+    return "".join(pool[int(k)] for k in rng.integers(0, len(pool), n))
+
+
+def random_furigana(bank: Optional[FeatureBank],
+                    rng: np.random.Generator,
                     max_len: Optional[int] = None) -> str:
-    """Random text with interlinear ruby groups (simplified generator;
-    the reference's is corpus-driven —
-    `/root/reference/dataset/data_transformer.py:98-265`)."""
-    kanji = [c for c in (bank.codes or []) if 0x4E00 <= c <= 0x9FFF]
-    if not kanji:
-        kanji = list(range(0x4E00, 0x4E80))
-    n = int(rng.integers(1, (max_len or 120) // 6 + 2))
-    out = []
-    for _ in range(n):
-        r = rng.uniform()
-        if r < 0.4:
-            base = "".join(chr(kanji[int(rng.integers(len(kanji)))])
-                           for _ in range(int(rng.integers(1, 4))))
-            ruby = "".join(_HIRAGANA[int(rng.integers(len(_HIRAGANA)))]
-                           for _ in range(int(rng.integers(1, 6))))
-            out.append(f"￹{base}￺{ruby}￻")
-        elif r < 0.8:
-            out.append("".join(
-                _HIRAGANA[int(rng.integers(len(_HIRAGANA)))]
-                for _ in range(int(rng.integers(1, 8)))))
+    """Reading-aware random furigana text — faithful port of the
+    reference generator's six branches + sentence punctuation tails
+    (`/root/reference/dataset/data_transformer.py:98-265`): kanji+kana
+    readings, emphasis dots, kanji+katakana, latin+kana gloss,
+    kana+latin gloss, kanji+kanji — so the decoder trains on ruby
+    statistics shaped like real Japanese, not uniform noise."""
+    del bank  # pools are class-driven like the reference's id_map
+    max_len = max_len or (MAX_DECODER_LEN - 2)
+    if rng.uniform() < 0.75:
+        out_count = max_len
+    else:
+        out_count = int(rng.integers(1, max_len))
+
+    jp, kanji_all = _JP, _JP[5] + _JP[8] + _JP[9] + _JP[10]
+    txt = "　"
+    for _ in range(100):
+        if len(txt) > out_count:
+            break
+        p = rng.random()
+        if p < 0.25:
+            # kanji with hiragana reading
+            if rng.random() < 0.2:
+                before = _pick(rng, jp[5], int(rng.integers(1, 5)))
+            else:
+                before = _pick(rng, jp[3], 1)
+            m_l = int(rng.integers(1, 10))
+            main = _pick(rng, kanji_all, m_l)
+            ruby = _pick(rng, jp[3] + ["ー"],
+                         int(rng.integers(1, m_l * 2 + 2)))
+            if rng.random() < 0.2:
+                after = _pick(rng, jp[5], int(rng.integers(1, 5)))
+            else:
+                after = _pick(rng, jp[3], 1)
+            if rng.random() < 0.5:
+                txt += "￹" + main + "￺" + ruby + "￻"
+            else:
+                txt += before + "￹" + main + "￺" + ruby + \
+                    "￻" + after
+        elif p < 0.35:
+            # emphasis dots over japanese
+            m_l = int(rng.integers(1, 15))
+            pool = list(_pick(rng, jp[3], 20) + _pick(rng, jp[4], 10)
+                        + _pick(rng, kanji_all, 10) + "ー")
+            main = _pick(rng, pool, m_l)
+            if rng.random() < 0.95:
+                dot = ["●", "﹅"][int(rng.integers(2))]
+            else:
+                dots = ["•", "◦", "●", "○", "◎", "◉", "▲", "△", "﹅",
+                        "﹆"]
+                dot = dots[int(rng.integers(len(dots)))]
+            txt += "￹" + main + "￺" + dot * m_l + "￻"
+        elif p < 0.55:
+            # mixed kana/kanji with katakana reading
+            kanjis = list(_pick(rng, kanji_all, 40))
+            m_l = int(rng.integers(1, 15))
+            main = _pick(rng, jp[3] + jp[4] + kanjis + ["ー"], m_l)
+            ruby = _pick(rng, jp[4] + ["ー"],
+                         int(rng.integers(3, m_l * 2 + 3)))
+            txt += "￹" + main + "￺" + ruby + "￻"
+        elif p < 0.7:
+            # latin base with japanese gloss
+            if rng.random() < 0.5:
+                m_l = int(rng.integers(3, 20))
+                pool = _DW1 if rng.random() < 0.5 else _DW1 + _DW2
+                main = _pick(rng, pool, m_l)
+            else:
+                word, m_l = [], 0
+                while rng.random() < 0.5 or m_l < 6:
+                    m_l1 = int(rng.integers(2, 10))
+                    m_l += m_l1
+                    word.append(_pick(rng, _ASCII_WORD, m_l1))
+                main = " ".join(word)
+                m_l = 10
+            kanjis = list(_pick(rng, jp[5] + jp[8], 100))
+            if rng.random() < 0.5:
+                m_l2 = int(rng.integers(3, m_l + 3))
+            else:
+                m_l2 = int(rng.integers(m_l // 5 + 3, m_l // 3 + 4))
+            ruby = _pick(rng, jp[3] + jp[4] + kanjis + ["ー"], m_l2)
+            txt += "￹" + main + "￺" + ruby + "￻"
+        elif p < 0.85:
+            # japanese base with latin gloss
+            kanjis = list(_pick(rng, jp[5] + jp[8], 100))
+            m_l = int(rng.integers(3, 20))
+            main = _pick(rng, jp[3] + jp[4] + kanjis + ["ー"], m_l)
+            if rng.random() < 0.5:
+                if rng.random() < 0.5:
+                    m_l2 = int(rng.integers(m_l // 5 + 3, m_l // 3 + 4))
+                else:
+                    m_l2 = int(rng.integers(m_l, m_l * 3))
+                pool = _DW1 if rng.random() < 0.5 else _DW1 + _DW2
+                ruby = _pick(rng, pool, m_l2)
+            else:
+                word, m_l2 = [], 0
+                while rng.random() < 0.5 or m_l2 < 6 or m_l * 2 > m_l2:
+                    m_l1 = int(rng.integers(2, 10))
+                    m_l2 += m_l1
+                    word.append(_pick(rng, _ASCII_WORD, m_l1))
+                ruby = " ".join(word)
+            txt += "￹" + main + "￺" + ruby + "￻"
         else:
-            out.append("\n")
-    return "".join(out)
+            # kanji with kanji gloss
+            kanjis = list(_pick(rng, kanji_all, 400))
+            m_l = int(rng.integers(3, 12))
+            main = _pick(rng, jp[3] + jp[4] + kanjis + ["ー"], m_l)
+            kanjis = list(_pick(rng, kanji_all, 400))
+            if rng.random() < 0.5:
+                m_l2 = int(rng.integers(3, m_l // 5 + 4))
+            else:
+                m_l2 = int(rng.integers(m_l, m_l * 2 + 1))
+            ruby = _pick(rng, jp[3] + jp[4] + kanjis + ["ー"], m_l2)
+            txt += "￹" + main + "￺" + ruby + "￻"
+
+        if rng.random() < 0.2:
+            txt += "\n"
+        else:
+            m_l = int(rng.integers(1, 10))
+            txt += _pick(rng, jp[3] + list(_pick(rng, kanji_all, 100)),
+                         m_l)
+            if rng.random() < 0.05:
+                txt += "\n　"
+            elif rng.random() < 0.1:
+                txt += "　"
+            elif rng.random() < 0.4:
+                txt += "、"
+            elif rng.random() < 0.4:
+                txt += "。"
+            elif rng.random() < 0.4:
+                txt += "——"
+            else:
+                for mark in ("！　", "？　", "‼　", "⁉　", "⁇　",
+                             "⁈　"):
+                    if rng.random() < 0.1:
+                        txt += mark
+                        break
+
+    txt = skip_remainruby(txt)
+    out_count = _adjust_out_count(txt, out_count)
+    split_count = int(rng.integers(20, 80))
+    return split_lines(txt, out_count, split_count)
+
+
+# ---------------------------------------------------------------------------
+# train_data4 real-data replay (human-corrected pages)
+# ---------------------------------------------------------------------------
+
+def _is_ascii(s: Optional[str]) -> bool:
+    return bool(s) and s in (
+        "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "abcdefghijklmnopqrstuvwxyz"
+        "~!@#$%^&*()_+-={}[]|\\:;\"'<>,.?/‘’“”")
+
+
+def _is_hangul(s: Optional[str]) -> bool:
+    return bool(s) and "가" <= s[0] <= "힣"
+
+
+def build_realdata_entry(features: np.ndarray,
+                         boxlist: Sequence[dict]) -> Optional[dict]:
+    """(features.npy, boxlist) from ``tools.annotate.process_image4`` ->
+    a replay entry {feature (N,106), index (N,), text} with block/line
+    separator rows and ruby markup, exactly like the reference's
+    constructor (`/root/reference/dataset/data_transformer.py:303-417`).
+    """
+    fdim = features.shape[-1]
+    enc_dim = fdim + 6
+    prev_block, prev_line = 0, 0
+    feature_values: List[np.ndarray] = []
+    feature_idx: List[int] = []
+    target_text = ""
+    vertical = 0
+    ruby_state = 0
+    for box in boxlist:
+        boxid = int(box["boxid"])
+        blockid = int(box["blockid"])
+        lineid = int(box["lineid"])
+        subtype = int(box["subtype"])
+        text = box.get("text")
+
+        for is_block, cur, prev in ((True, blockid, prev_block),
+                                    (False, lineid, prev_line)):
+            if prev != cur:
+                if is_block:
+                    prev_block = blockid
+                    prev_line = -1
+                else:
+                    prev_line = lineid
+                g = np.zeros(enc_dim, np.float32)
+                g[fdim + 0] = 5 * vertical
+                g[-1] = 5
+                if ruby_state == 2:
+                    target_text += "￻"
+                feature_values.append(g)
+                feature_idx.append(len(target_text))
+                ruby_state = 0
+                target_text += "\n"
+
+        cur_idx = len(target_text)
+        if subtype & 8:
+            space = 1
+            target_text += (" " if _is_ascii(text) or _is_hangul(text)
+                            else "　")
+        else:
+            space = 0
+
+        if subtype & 6 == 6:
+            if ruby_state == 1:
+                target_text += "￺"
+                cur_idx = len(target_text)
+            ruby_state = 2
+        elif subtype & 6 == 2:
+            if ruby_state == 2:
+                target_text += "￻"
+                cur_idx = len(target_text)
+            if ruby_state == 0:
+                target_text += "￹"
+            ruby_state = 1
+        else:
+            if ruby_state == 2:
+                target_text += "￻"
+                cur_idx = len(target_text)
+            ruby_state = 0
+
+        emphasis = 1 if subtype & 16 else 0
+        vertical = 1 if subtype & 1 else 0
+        rubybase = 1 if ruby_state == 1 else 0
+        ruby = 1 if ruby_state == 2 else 0
+
+        g = np.concatenate([
+            np.asarray(features[boxid], np.float32),
+            5 * np.array([vertical, rubybase, ruby, space, emphasis, 0],
+                         np.float32)])
+        feature_values.append(g)
+        feature_idx.append(cur_idx)
+        target_text += text if text is not None else "�"
+
+    if not feature_values:
+        return None
+    if ruby_state == 2:
+        target_text += "￻"
+    feature_values.append(np.zeros(enc_dim, np.float32))
+    feature_idx.append(len(target_text))
+    return {"feature": np.asarray(feature_values, np.float32),
+            "index": np.asarray(feature_idx, np.int64),
+            "text": target_text}
+
+
+def load_realdata_dir(directory: str) -> List[dict]:
+    """Load every ``*.npy`` + sibling ``.json`` (with ``boxlist``) pair
+    written by ``tools.annotate.process_image4`` into replay entries."""
+    import json
+
+    entries = []
+    for npy in sorted(glob.glob(os.path.join(directory, "*.npy"))):
+        base = os.path.splitext(npy)[0]
+        jpath = base + ".json"
+        if not os.path.exists(jpath):
+            continue
+        try:
+            with open(jpath, encoding="utf-8") as f:
+                data = json.load(f)
+            boxlist = data.get("boxlist", [])
+            if not boxlist:
+                continue
+            entry = build_realdata_entry(np.load(npy), boxlist)
+            if entry is not None:
+                entries.append(entry)
+        except (OSError, ValueError, KeyError):
+            continue
+    return entries
+
+
+def sample_realdata(entry: dict, rng: np.random.Generator,
+                    noise_ratio: float = 0.0,
+                    enc_len: int = MAX_ENCODER_LEN,
+                    dec_len: int = MAX_DECODER_LEN
+                    ) -> Tuple[str, np.ndarray]:
+    """Random window into a replay entry with ruby-safe start/end
+    extension and feature noise
+    (`/root/reference/dataset/data_transformer.py:443-513`)."""
+    feature, index, text = entry["feature"], entry["index"], entry["text"]
+    n = index.shape[0]
+    start_idx = int(rng.integers(n - 10)) if n > 10 else 0
+    if start_idx > 0:
+        g = feature[start_idx]
+        if g[-4] > 0 or g[-5] > 0:     # don't start inside a ruby group
+            j = start_idx - 1
+            while j >= 0 and (g[-4] > 0 or g[-5] > 0):
+                g = feature[j]
+                start_idx = j
+                j -= 1
+    if rng.uniform() < 0.75:
+        count = min(dec_len - 2, n - start_idx)
+    else:
+        count = int(rng.integers(1, min(dec_len - 2, n - start_idx)))
+
+    out_count, ruby_state, end_idx = 0, 0, start_idx
+    for j in range(start_idx, start_idx + count):
+        end_idx = j
+        out_count += 1
+        if j >= n:
+            break
+        g = feature[j]
+        if g[-1] > 0:
+            out_count += 1
+        if g[-3] > 0:
+            out_count += 1
+        if g[-5] > 0:
+            if ruby_state == 0:
+                out_count += 3
+            ruby_state = 1
+        elif g[-4] > 0:
+            ruby_state = 2
+        else:
+            ruby_state = 0
+        if ruby_state > 0 and out_count > dec_len - 10:
+            break
+        if out_count > dec_len - 3:
+            break
+    if end_idx < n:
+        g = feature[end_idx]
+        if g[-4] > 0 or g[-5] > 0:     # extend past a trailing ruby group
+            j = end_idx + 1
+            while j < n and (g[-4] > 0 or g[-5] > 0):
+                g = feature[j]
+                end_idx = j
+                j += 1
+    if end_idx + 1 < n:
+        end_idx += 1
+    if end_idx - start_idx > enc_len - 2:
+        end_idx = start_idx + enc_len - 2
+
+    feat = np.zeros((enc_len, feature.shape[-1]), np.float32)
+    # reference quirk kept verbatim: the SOT pattern occupies row 0 and
+    # the window's features are ADDED from row 0, so the first char's
+    # vector rides on top of SOT (data_transformer.py:508-510)
+    feat[0, :feat.shape[1]] = SP_TOKEN[:feat.shape[1]]
+    window = feature[start_idx:end_idx]
+    if noise_ratio > 0:
+        noise = 10.0 * rng.normal(size=window.shape) * noise_ratio
+        noise[..., window.shape[-1] - 6:] = 0
+        window = window + noise
+    feat[0:end_idx - start_idx] += window
+    if end_idx - start_idx < enc_len:
+        feat[end_idx - start_idx] = -SP_TOKEN[:feat.shape[1]]
+    txt = text[index[start_idx]:index[end_idx]]
+    return txt, feat
 
 
 class TransformerDataset:
     """Mixes real-data replay, corpus text, and random strings.
 
-    Source weighting mirrors the reference: corpus text dominates, with
-    random furigana / random codepoint strings as augmentation.
+    Source weighting mirrors the reference's ``__len__`` mix
+    (`data_transformer.py:429-441`): each replay page counts
+    ``real_ratio``(=100) times, each corpus file once, plus a
+    random-text share of (real+corpus)/5.
     """
 
     def __init__(self, bank: FeatureBank,
                  text_files: Sequence[str] = (),
-                 real_data: Sequence[Tuple[np.ndarray, str]] = (),
+                 real_data: Sequence = (),
                  noise_ratio: float = 1.0, seed: int = 0,
                  enc_len: int = MAX_ENCODER_LEN,
-                 dec_len: int = MAX_DECODER_LEN):
+                 dec_len: int = MAX_DECODER_LEN,
+                 real_ratio: int = 100):
         self.bank = bank
         self.noise_ratio = noise_ratio
         self.enc_len = enc_len
         self.dec_len = dec_len
+        self.real_ratio = real_ratio
         self.rng = np.random.default_rng(seed)
         self.texts: List[str] = []
         for f in text_files:
             try:
                 with open(f, encoding="utf-8") as fh:
                     t = fh.read()
+                t = re.sub(r"　　+", "　", t)
+                t = re.sub(r"  +", " ", t)
+                t = re.sub("\n\n\n+", "\n\n", t)
                 if t.strip():
                     self.texts.append(t)
             except OSError:
                 pass
-        self.real_data = list(real_data)
+        self.real_data: List[dict] = []
+        for rd in real_data:
+            if isinstance(rd, dict):
+                self.real_data.append(rd)
+            else:   # legacy (enc_features, text) tuple
+                feat, text = rd
+                self.real_data.append({
+                    "feature": np.asarray(feat, np.float32),
+                    "index": np.arange(len(text) + 1),
+                    "text": text,
+                    "_pre_padded": True,
+                })
 
     def _corpus_slice(self) -> str:
-        t = self.texts[int(self.rng.integers(len(self.texts)))]
-        start = int(self.rng.integers(max(1, len(t) - 1)))
-        piece = t[start:start + MAX_DECODER_LEN - 2]
-        # don't start inside a ruby group
-        for m in ("￺", "￻"):
-            i = piece.find(m)
-            j = piece.find("￹")
-            if i >= 0 and (j < 0 or i < j):
-                piece = piece[i + 1:]
-        return piece
+        """Reference ``load_textfile`` (`data_transformer.py:605-634`)."""
+        rng = self.rng
+        t = self.texts[int(rng.integers(len(self.texts)))]
+        txt = skip_remainruby(t[int(rng.integers(max(1, len(t) - 1))):])
+        if not txt:
+            return ""
+        if rng.uniform() < 0.75:
+            out_count = min(self.dec_len - 2, len(txt))
+        else:
+            out_count = int(rng.integers(
+                1, max(2, min(self.dec_len - 2, len(txt)))))
+        out_count = _adjust_out_count(txt, out_count)
+        return split_lines(txt, out_count, int(rng.integers(20, 80)))
 
     def sample(self) -> Dict[str, np.ndarray]:
         rng = self.rng
-        r = rng.uniform()
-        if self.real_data and r < 0.01 * len(self.real_data):
-            feat, text = self.real_data[int(rng.integers(
-                len(self.real_data)))]
-            enc = feat
+        n_real = len(self.real_data) * self.real_ratio
+        n_text = len(self.texts)
+        total = n_real + n_text + (n_real + n_text) // 5
+        pick = int(rng.integers(max(1, total)))
+        if pick < n_real:
+            entry = self.real_data[pick % len(self.real_data)]
+            if entry.get("_pre_padded"):
+                text, enc = entry["text"], entry["feature"]
+            else:
+                text, enc = sample_realdata(
+                    entry, rng, noise_ratio=self.noise_ratio,
+                    enc_len=self.enc_len, dec_len=self.dec_len)
         else:
-            if self.texts and r < 0.7:
+            if self.texts and pick < n_real + n_text:
                 text = self._corpus_slice()
-            elif r < 0.85:
+            elif rng.uniform() < 0.5:
                 text = random_furigana(self.bank, rng,
                                        max_len=self.dec_len - 2)
             else:
                 text = random_text(self.bank, rng,
                                    max_len=self.dec_len - 2)
+            # reference format_output trims a trailing newline half the
+            # time (data_transformer.py:660-662)
+            if text and text[-1] == "\n" and rng.uniform() < 0.5:
+                text = text[:-1]
             text = text[:self.dec_len - 2]
             enc = gen_feature(text, self.bank, rng,
                               noise_ratio=self.noise_ratio,

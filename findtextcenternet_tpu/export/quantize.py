@@ -17,10 +17,17 @@ from typing import Dict, Iterable, Tuple
 import numpy as np
 import jax.numpy as jnp
 
-# parameter paths excluded from quantization (regex on '/'-joined path)
+# parameter paths excluded from quantization (regex on '/'-joined path).
+# In the fused-head layout the per-head names live inside shared tensors;
+# the sensitive outputs (feature head, key heatmap) are protected by
+# excluding the top convs (top_feature_* / top_scalar_* — the latter
+# carries the keymap's final conv), while the shared cascades quantize
+# with per-output-channel scales (each head's channels scale
+# independently).
 DEFAULT_EXCLUDE = (
-    r".*feature.*",        # 100-d feature head
-    r".*keyheatmap.*",     # key heatmap head
+    r".*feature.*",        # 100-d feature head (incl. top_feature_*)
+    r".*keyheatmap.*",     # key heatmap head (per-head layout)
+    r".*top_scalar.*",     # fused scalar top conv (keymap final conv)
     r".*bn.*", r".*norm.*",  # normalization params stay float
     r".*pos_emb.*",
     r".*embed\d*/embedding$",
@@ -102,6 +109,84 @@ def cast_params(params, dtype=jnp.bfloat16, keep_norm_f32: bool = True):
         return arr.astype(dtype)
 
     return walk(params)
+
+
+def fake_quant(x, scale: float):
+    """Symmetric int8 quantize-dequantize (the QDQ node pair of the
+    reference's static quantization, `quantize1_onnx.py:96-117`)."""
+    s = jnp.asarray(scale, jnp.float32)
+    return jnp.clip(jnp.round(x / s), -127, 127) * s
+
+
+def calibrate_detector(detector, variables, batches) -> "ActivationCalibrator":
+    """Collect activation ranges at the detector's tensor boundaries
+    (input, backbone taps, head outputs) over calibration batches —
+    the reference calibrates with a moving average over 200 real
+    samples (`quantize1_onnx.py:49-63`)."""
+    import jax
+
+    cal = ActivationCalibrator()
+
+    @jax.jit
+    def run(v, images):
+        return detector.apply(v, images,
+                              capture_intermediates=True,
+                              mutable=["intermediates"])
+
+    for images in batches:
+        (heat, feats), st = run(variables, jnp.asarray(images))
+        inter = st["intermediates"]
+        taps = inter["backbone"]["__call__"][0]
+        for i, t in enumerate(taps):
+            cal.observe(f"tap{i}", t)
+        cal.observe("heatmap", heat)
+        cal.observe("features", feats)
+    return cal
+
+
+def build_int8_detector(detector, variables,
+                        calibrator: "ActivationCalibrator",
+                        exclude: Iterable[str] = DEFAULT_EXCLUDE):
+    """Static int8 detector: per-channel int8 weights (with the
+    reference's feature/keymap head exclusions) + calibrated int8
+    activation QDQ at the artifact boundaries.
+
+    Returns ``(fn, qvars)`` where ``fn(qvars, images_uint8)`` is
+    jittable/exportable (``export.save_exported``) — the StableHLO
+    artifact then carries int8 weight tensors with embedded dequant,
+    halving weight storage and HBM weight reads on load.
+    """
+    import jax
+
+    qparams, scales = quantize_params(variables["params"], exclude)
+    act_heat = calibrator.scale("heatmap")
+    act_feat = calibrator.scale("features")
+
+    def dequant(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: dequant(v, f"{prefix}/{k}" if prefix else k)
+                    for k, v in tree.items()}
+        if prefix in scales:
+            return (jnp.asarray(tree, jnp.float32)
+                    * jnp.asarray(scales[prefix])).astype(jnp.bfloat16)
+        return jnp.asarray(tree)
+
+    batch_stats = jax.tree_util.tree_map(np.asarray,
+                                         variables["batch_stats"])
+
+    def fn(qvars, images):
+        params = dequant(qvars["params"])
+        x = images.astype(jnp.float32)
+        if images.dtype == jnp.uint8:
+            x = x / 255.0
+        heat, feats = detector.apply(
+            {"params": params, "batch_stats": qvars["batch_stats"]}, x)
+        heat = fake_quant(heat.astype(jnp.float32), act_heat)
+        feats = fake_quant(feats.astype(jnp.float32), act_feat)
+        return heat, feats
+
+    qvars = {"params": qparams, "batch_stats": batch_stats}
+    return fn, qvars
 
 
 class ActivationCalibrator:

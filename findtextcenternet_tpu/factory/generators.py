@@ -75,6 +75,21 @@ class PageGenerator:
             self._samplers[key] = weighted_char_sampler(chars, self.rng)
         return self._samplers[key](n)
 
+    _hangul_cache: Dict[str, str] = {}
+
+    def _hangul_for(self, rast: GlyphRasterizer) -> str:
+        """Hangul syllables the font covers (sampled), '' if none."""
+        key = rast.font_path
+        if key not in self._hangul_cache:
+            probe = [chr(c) for c in range(0xAC00, 0xD7A4, 97)]
+            covered = [c for c in probe if rast.has_glyph(c)]
+            if len(covered) >= 20:
+                full = [chr(c) for c in range(0xAC00, 0xD7A4, 7)]
+                covered = [c for c in full if rast.has_glyph(c)]
+            self._hangul_cache[key] = "".join(covered) \
+                if len(covered) >= 20 else ""
+        return self._hangul_cache[key]
+
     def _random_words(self, n_words: int) -> str:
         """Word-page text from the JP/EN wordlists, space separated."""
         rng = self.rng
@@ -116,27 +131,37 @@ class PageGenerator:
 
     def generate(self, kind: Optional[str] = None) -> Dict[str, np.ndarray]:
         """One random page. kind: None (weighted random) or one of
-        furigana / textline / chars / words / grid / scatter / handwriting.
+        furigana / textline / chars / words / korean / wari / grid /
+        handwriting / scatter / book / mixed.
+
+        Default weights follow the reference's ``get_random_text`` mix
+        (`generate_random_txt.py:1025-1061`): furigana 15%, corpus
+        textline 15%, random char pages 30%, words 10%, Korean 10%,
+        warichu/grid/handwriting 5% each, scatter/book the remainder.
         """
         rng = self.rng
         if kind is None:
             r = rng.uniform()
             if r < 0.15:
                 kind = "furigana"
-            elif r < 0.28:
+            elif r < 0.30:
                 kind = "textline"
-            elif r < 0.55:
+            elif r < 0.60:
                 kind = "chars"
-            elif r < 0.65:
+            elif r < 0.70:
                 kind = "words"
-            elif r < 0.73:
+            elif r < 0.80:
+                kind = "korean"
+            elif r < 0.85:
+                kind = "wari"
+            elif r < 0.90:
                 kind = "grid"
-            elif r < 0.82:
+            elif r < 0.95:
+                kind = "handwriting"
+            elif r < 0.975:
                 kind = "scatter"
-            elif r < 0.92:
-                kind = "book"
             else:
-                kind = "mixed"
+                kind = "book"
 
         canvas = Canvas(self.width, self.height, rng)
         size = int(rng.integers(24, 72))
@@ -165,6 +190,47 @@ class PageGenerator:
                             if all(rast.has_glyph(c) for c in w)) or \
                 self._random_string(chars, 40)
             self._flow(canvas, text, rast, ruby_rast, False)
+        elif kind == "korean":
+            # reference `get_random_krtext` (generate_random_txt.py:726);
+            # hangul needs a user-supplied KR font — fall back to a char
+            # page when the font has no coverage
+            hangul = self._hangul_for(rast)
+            if hangul:
+                text = self._random_string(hangul,
+                                           int(rng.integers(100, 500)))
+                words = text and " ".join(
+                    text[i:i + int(rng.integers(2, 6))]
+                    for i in range(0, len(text), 5))
+                self._flow(canvas, words or text, rast, ruby_rast, False)
+            else:
+                text = self._random_string(chars,
+                                           int(rng.integers(100, 800)))
+                self._flow(canvas, text, rast, ruby_rast, vertical)
+        elif kind == "wari":
+            # paragraphs with inline warichu notes in full-width parens
+            # (`generate_random_txt.py:359-372`)
+            parts = []
+            for _ in range(int(rng.integers(2, 6))):
+                main = self._random_string(chars, int(rng.integers(8, 40)))
+                note = self._random_string(chars, int(rng.integers(4, 16)))
+                parts.append(f"{main}（{note}）")
+            text = "".join(parts)
+            size_ = rast.size
+            y = size_ * 2.0
+            for line in canvas._wrap(text, self.width - 4 * size_, rast,
+                                     False):
+                canvas.draw_line(line, rast, size_ * 2, y,
+                                 ruby_rast=ruby_rast, wari=True)
+                canvas.text_parts.append("\n")
+                y += size_ * 1.8
+                if y > self.height - size_ * 2:
+                    break
+        elif kind == "handwriting":
+            from .handwriting import compose_handwriting_page
+            return compose_handwriting_page(
+                chars, rast, self.width, self.height, rng,
+                bank=getattr(self, "stroke_bank", None),
+                count=int(rng.integers(30, 120)))
         elif kind == "grid":
             canvas.random_grid(chars, rast,
                                rows=int(rng.integers(3, 8)),

@@ -109,12 +109,24 @@ class Canvas:
     # text flow
     # ------------------------------------------------------------------
 
-    def _parse_ruby(self, text: str):
-        """Split into segments: (kind, payload); kind 'plain' or 'ruby'."""
+    def _parse_ruby(self, text: str, wari: bool = False):
+        """Split into segments: (kind, payload); kind 'plain', 'ruby' or
+        (with ``wari``) 'wari' for full-width-parenthesized inline
+        notes, the reference's warichu marking
+        (`generate_random_txt.py:359-372`)."""
         segs = []
         i = 0
         while i < len(text):
             j = text.find(RUBY_BASE, i)
+            w = text.find("（", i) if wari else -1
+            if w >= 0 and (j < 0 or w < j):
+                wend = text.find("）", w)
+                if wend > w:
+                    if w > i:
+                        segs.append(("plain", text[i:w]))
+                    segs.append(("wari", text[w + 1:wend]))
+                    i = wend + 1
+                    continue
             if j < 0:
                 segs.append(("plain", text[i:]))
                 break
@@ -132,8 +144,8 @@ class Canvas:
     def draw_line(self, text: str, rast: GlyphRasterizer, x: float,
                   y: float, vertical: bool = False,
                   emphasis: bool = False,
-                  ruby_rast: Optional[GlyphRasterizer] = None
-                  ) -> float:
+                  ruby_rast: Optional[GlyphRasterizer] = None,
+                  wari: bool = False) -> float:
         """Typeset one line starting at pen (x, y); returns the pen advance
         along the reading direction. Supports ruby markers."""
         size = rast.size
@@ -179,7 +191,7 @@ class Canvas:
             pen += adv
 
         rr = ruby_rast
-        for kind, payload in self._parse_ruby(text):
+        for kind, payload in self._parse_ruby(text, wari=wari):
             if kind == "plain":
                 for ch in payload:
                     base_flags = 4 if emphasis else 0
@@ -195,6 +207,43 @@ class Canvas:
                                 else:
                                     self._blit(dg, pen - size,
                                                y - size * 0.7)
+            elif kind == "wari":
+                # inline warichu: two half-size rows/columns flowing in
+                # the paragraph (`renderer.py:850` draw_wari)
+                if rr is None:
+                    for ch in payload:
+                        put(ch, rast)
+                    continue
+                half = (len(payload) + 1) // 2
+                rows = (payload[:half], payload[half:])
+                rsize = rr.size
+                row_start = pen
+                ends = []
+                for ri, row in enumerate(rows):
+                    rpen = row_start
+                    lat = (ri - 0.5) * rsize * 1.15
+                    for ch in row:
+                        g = rr.glyph(ch, vertical)
+                        if g is None:
+                            continue
+                        if vertical:
+                            bbox = self._blit(g, x - lat - rsize / 2,
+                                              rpen)
+                        else:
+                            bbox = self._blit(
+                                g, rpen, y + lat - rsize * 0.45)
+                        if bbox:
+                            self._record(bbox, ord(ch), 0)
+                            lo = bbox[1] if not vertical else bbox[0]
+                            hi = bbox[3] if not vertical else bbox[2]
+                            ink_lo = lo if ink_lo is None else min(
+                                ink_lo, lo)
+                            ink_hi = hi if ink_hi is None else max(
+                                ink_hi, hi)
+                        rpen += (rsize * 1.05 if vertical
+                                 else (g.advance * 1.02 if g else rsize))
+                    ends.append(rpen)
+                pen = max(ends) if ends else pen
             else:
                 base, ruby = payload
                 if rr is None:
@@ -205,11 +254,26 @@ class Canvas:
                 for ch in base:
                     put(ch, rast, flags=2)
                 base_end = pen
-                # ruby run above (horizontal) / right (vertical)
+                # ruby distribution over the base span with overhang
+                # (JIS-style, like the reference's _ruby_line_render
+                # `renderer.py:1917-2202`): when the ruby run fits, the
+                # chars distribute evenly across the span (中付き); when
+                # it is wider, it may overhang up to half a ruby em on
+                # each side, then compresses its pitch.
                 span = base_end - base_start
                 rsize = rr.size
-                need = len(ruby) * rsize
-                rpen = base_start + max(0.0, (span - need) / 2)
+                n_r = len(ruby)
+                need = n_r * rsize
+                if need <= span:
+                    gap = (span - need) / (n_r + 1) if n_r else 0.0
+                    rpen = base_start + gap + rsize * 0.0
+                    pitch = rsize + gap
+                else:
+                    overhang = min((need - span) / 2, rsize * 0.5)
+                    rpen = base_start - overhang
+                    avail = span + 2 * overhang
+                    pitch = ((avail - rsize) / (n_r - 1)
+                             if n_r > 1 else rsize)
                 for ch in ruby:
                     g = rr.glyph(ch, vertical)
                     if g is None:
@@ -220,7 +284,7 @@ class Canvas:
                         bbox = self._blit(g, rpen, y - size * 0.55)
                     if bbox:
                         self._record(bbox, ord(ch), 1 | 2)
-                    rpen += rsize
+                    rpen += pitch
 
         # textline band over the rendered ink
         if ink_lo is not None:
@@ -242,7 +306,7 @@ class Canvas:
         right-to-left starting at origin (x is the first column).
         """
         size = rast.size
-        lines = self._wrap(text, extent, size)
+        lines = self._wrap(text, extent, rast, vertical)
         n = 0
         x0, y0 = origin
         for li, line in enumerate(lines):
@@ -264,55 +328,72 @@ class Canvas:
             self.text_parts.append("\n")
         return n
 
-    @staticmethod
-    def _wrap(text: str, extent: float, size: float) -> List[str]:
-        out = []
-        per_line = max(1, int(extent / (size * 1.05)))
+    def _advance(self, ch: str, rast: GlyphRasterizer,
+                 vertical: bool) -> float:
+        """Measured pen advance for one char, matching draw_line's flow."""
+        if ch == " ":
+            return rast.size * 0.5
+        if ch == "　":
+            return float(rast.size)
+        if vertical:
+            return rast.size * 1.05
+        g = rast.glyph(ch, vertical)
+        if g is None:
+            return 0.0
+        return g.advance * 1.02
+
+    def _wrap(self, text: str, extent: float, rast: GlyphRasterizer,
+              vertical: bool = False) -> List[str]:
+        """Advance-measured line breaking with kinsoku shori.
+
+        Measures real glyph advances (the reference Canvas breaks on the
+        measured pen position, `renderer.py:1162-1400`) instead of a
+        char-count budget — correct for proportional Latin fonts. Ruby
+        groups are atomic tokens whose width is the base run; kinsoku:
+        a forbidden line-start char hangs onto the full line, a
+        forbidden line-end char is pushed down.
+        """
+        lines: List[str] = []
         for para in text.split("\n"):
+            # tokenize: single chars or whole ruby groups
+            tokens: List[Tuple[str, float]] = []
             i = 0
-            # strip ruby markers for counting; simple budget-based wrap
-            cur = ""
-            budget = per_line
-            in_ruby = 0
-            for ch in para:
+            while i < len(para):
+                ch = para[i]
                 if ch == RUBY_BASE:
-                    in_ruby = 1
-                    cur += ch
-                    continue
-                if ch == RUBY_TEXT:
-                    in_ruby = 2
-                    cur += ch
-                    continue
-                if ch == RUBY_END:
-                    in_ruby = 0
-                    cur += ch
-                    continue
-                cur += ch
-                if in_ruby != 2:
-                    budget -= 1
-                if budget <= 0 and in_ruby == 0:
-                    out.append(cur)
-                    cur = ""
-                    budget = per_line
+                    k = para.find(RUBY_TEXT, i)
+                    l = para.find(RUBY_END, k) if k >= 0 else -1
+                    if k >= 0 and l >= 0:
+                        w = sum(self._advance(c, rast, vertical)
+                                for c in para[i + 1:k])
+                        tokens.append((para[i:l + 1], w))
+                        i = l + 1
+                        continue
+                tokens.append((ch, self._advance(ch, rast, vertical)))
+                i += 1
+
+            cur, used = "", 0.0
+            for tok, w in tokens:
+                if used + w > extent and cur:
+                    if len(tok) == 1 and tok in LINE_START_FORBID:
+                        cur += tok          # hang the punctuation
+                        used += w
+                        continue
+                    if cur and cur[-1] in LINE_END_FORBID:
+                        carry = cur[-1]     # open bracket moves down
+                        cur = cur[:-1]
+                        lines.append(cur)
+                        cur = carry + tok
+                        used = self._advance(carry, rast, vertical) + w
+                        continue
+                    lines.append(cur)
+                    cur, used = tok, w
+                else:
+                    cur += tok
+                    used += w
             if cur:
-                out.append(cur)
-        # kinsoku: move forbidden line-start chars up, line-end chars down
-        fixed: List[str] = []
-        carry = ""
-        for line in out:
-            line = carry + line
-            carry = ""
-            while fixed and line and line[0] in LINE_START_FORBID:
-                fixed[-1] += line[0]
-                line = line[1:]
-            if line and line[-1] in LINE_END_FORBID:
-                carry = line[-1]
-                line = line[:-1]
-            if line:
-                fixed.append(line)
-        if carry:
-            fixed.append(carry)
-        return fixed
+                lines.append(cur)
+        return lines
 
     # ------------------------------------------------------------------
     # page patterns

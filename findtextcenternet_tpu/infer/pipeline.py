@@ -214,9 +214,15 @@ class OCRPipeline:
         ic = config.inference
 
         apply_fn = detector_apply or self.detector.apply
+        self._apply_fn = apply_fn   # tools (annotate) reuse the same net
 
         @jax.jit
         def _detect(variables, images, region_masks):
+            # tiles ship to the device as uint8 (4x less transfer over
+            # the device link than f32); the [0,1] scaling happens here,
+            # bitwise identical to a host-side /255
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
             heatmap, features = apply_fn(variables, images)
             peaks = extract_peaks(heatmap, features,
                                   max_peaks=ic.max_peaks_per_tile,
@@ -309,7 +315,7 @@ class OCRPipeline:
             im1 = np.pad(im1, [[0, p1y], [0, p1x], [0, 0]],
                          constant_values=255)
             B = ic.detector_batch
-            chunk = [im1.astype(np.float32) / 255.0]
+            chunk = [im1]                                   # uint8
             chunk += [np.zeros_like(chunk[0])] * (B - 1)
             ms1 = tile // SCALE
             masks1 = [np.ones((ms1, ms1), bool)] +                 [np.zeros((ms1, ms1), bool)] * (B - 1)
@@ -336,8 +342,7 @@ class OCRPipeline:
         tiles, offs, masks = [], [], []
         for y in range(0, H - tile + 1, step):
             for x in range(0, W - tile + 1, step):
-                tiles.append(img[y:y + tile, x:x + tile].astype(np.float32)
-                             / 255.0)
+                tiles.append(img[y:y + tile, x:x + tile])   # uint8
                 offs.append((x, y))
                 m = np.zeros((ms, ms), bool)
                 x_min = int(ms * (1 - ic.stride_ratio) / 2) if x > 0 else 0

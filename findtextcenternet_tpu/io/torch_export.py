@@ -96,14 +96,29 @@ class _Exporter:
 
 def export_detector_sd(variables: dict, model_size: str = "xl"
                        ) -> Dict[str, np.ndarray]:
-    """Reference-keyed TextDetectorModel state dict from flax variables."""
-    ex = _Exporter(variables["params"], variables["batch_stats"])
+    """Reference-keyed TextDetectorModel state dict from flax variables.
+
+    Accepts either head layout: the fused ``heads`` module is unfused
+    into per-head Leafmap trees before the shared key schedule runs.
+    """
+    params = dict(variables["params"])
+    stats = dict(variables["batch_stats"])
+    if "heads" in params.get("detector", {}):
+        from ..models.detector import unfuse_head_variables
+        dp = dict(params["detector"])
+        ds = dict(stats["detector"])
+        hp, hs = unfuse_head_variables(dp.pop("heads"), ds.pop("heads"))
+        dp.update(hp)
+        ds.update(hs)
+        params["detector"] = dp
+        stats["detector"] = ds
+    ex = _Exporter(params, stats)
     det = ("detector",)
     _import_backbone(ex, "detector.backbone", det + ("backbone",),
                      model_size)
     for tname, fname in _HEAD_NAME_MAP.items():
         _import_leafmap(ex, f"detector.{tname}", det + (fname,))
-    if "decoder" in variables["params"]:
+    if "decoder" in params:
         _import_simple_decoder(ex, "decoder", ("decoder",))
     return ex.sd
 

@@ -166,17 +166,27 @@ def _import_simple_decoder(im: _Importer, tprefix: str, fprefix):
 
 
 def import_detector(sd: Mapping[str, np.ndarray], model_size: str = "xl",
-                    with_decoder: bool = True) -> dict:
+                    with_decoder: bool = True, fused: bool = False) -> dict:
     """Build flax variables for ``TextDetectorModel`` from a torch sd.
 
     Returns ``{'params': ..., 'batch_stats': ...}`` with top-level modules
     ``detector`` (and ``decoder`` when present in the checkpoint).
+    ``fused=True`` emits the :class:`FusedLeafmaps` head layout (module
+    ``heads``); ``fused=False`` the per-head :class:`Leafmap` layout.
     """
     im = _Importer(sd)
     det = ("detector",)
     _import_backbone(im, "detector.backbone", det + ("backbone",), model_size)
     for tname, fname in _HEAD_NAME_MAP.items():
         _import_leafmap(im, f"detector.{tname}", det + (fname,))
+    if fused:
+        from ..models.detector import fuse_head_variables
+        names = list(_HEAD_NAME_MAP.values())
+        hp = {h: im.params["detector"].pop(h) for h in names}
+        hs = {h: im.batch_stats["detector"].pop(h) for h in names}
+        fp, fs = fuse_head_variables(hp, hs)
+        im.params["detector"]["heads"] = fp
+        im.batch_stats["detector"]["heads"] = fs
     if with_decoder and any(k.startswith("decoder.") for k in sd):
         _import_simple_decoder(im, "decoder", ("decoder",))
     leftovers = [k for k in im.unconsumed()

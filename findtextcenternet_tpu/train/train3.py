@@ -48,12 +48,14 @@ def build_transformer_state(config, mesh=None, seed: int = 0,
 
 def train(features_npz=None, text_files=(), config=None,
           steps_per_epoch: int = 1000, val_steps: int = 20,
-          resume: bool = True, synthetic_bank: bool = False, mesh=None):
+          resume: bool = True, synthetic_bank: bool = False, mesh=None,
+          realdata_dir=None):
     import jax
     import numpy as np
 
     from ..config import Config
-    from ..data.transformer_data import FeatureBank, TransformerDataset
+    from ..data.transformer_data import (
+        FeatureBank, TransformerDataset, load_realdata_dir)
     from ..models.transformer import mask_predict
     from ..parallel import make_mesh, shard_batch
     from ..utils.text import codes_to_text
@@ -82,7 +84,14 @@ def train(features_npz=None, text_files=(), config=None,
 
     enc_len = config.transformer.max_enc_seq_len
     dec_len = config.transformer.max_dec_seq_len
-    train_ds = TransformerDataset(bank, text_files, noise_ratio=1.0,
+    # train_data4 replay: human-corrected real pages, weighted x100 like
+    # the reference (`/root/reference/dataset/data_transformer.py:303,430`)
+    real = load_realdata_dir(realdata_dir) if realdata_dir else []
+    if real:
+        print(f"realdata: {len(real)} corrected pages from "
+              f"{realdata_dir} (x100 replay weight)")
+    train_ds = TransformerDataset(bank, text_files, real_data=real,
+                                  noise_ratio=1.0,
                                   seed=tc.seed, enc_len=enc_len,
                                   dec_len=dec_len)
     val_ds = TransformerDataset(bank, text_files, noise_ratio=0.0,
@@ -154,6 +163,8 @@ def main(argv=None):
             kw["features_npz"] = a.split("=", 1)[1]
         elif a.startswith("--texts="):
             kw["text_files"] = sorted(glob.glob(a.split("=", 1)[1]))
+        elif a.startswith("--realdata-dir="):
+            kw["realdata_dir"] = a.split("=", 1)[1]
         elif a == "--synthetic-bank":
             kw["synthetic_bank"] = True
         elif a.startswith("--batch-size="):

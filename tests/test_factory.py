@@ -123,3 +123,93 @@ def test_book_page_columns():
     # boxes spread over more than half of the page width (multi column)
     xs = page["position"][:, 0]
     assert xs.max() - xs.min() > 300
+
+
+def test_wrap_is_advance_measured():
+    """Proportional Latin text wraps on measured glyph advances, not a
+    char-count budget (VERDICT r2: `layout.py` wrap could overflow)."""
+    from findtextcenternet_tpu.factory.layout import Canvas
+    from findtextcenternet_tpu.factory.rasterizer import GlyphRasterizer
+    fonts = [f for f in find_fonts() if "DejaVuSans.ttf" in f]
+    if not fonts:
+        pytest.skip("no fonts")
+    rast = GlyphRasterizer(fonts[0], 32)
+    canvas = Canvas(800, 600)
+    # 'W' is ~2.4x wider than 'i' in DejaVu; a count-based budget would
+    # emit equal-length lines for both
+    wide = canvas._wrap("W" * 60, 400, rast, False)
+    narrow = canvas._wrap("i" * 60, 400, rast, False)
+    assert len(wide) > len(narrow)
+    # every wide line measures within the extent (+1 glyph kinsoku slack)
+    wadv = rast.glyph("W").advance * 1.02
+    for line in wide:
+        assert len(line) * wadv <= 400 + wadv
+    # kinsoku: a comma never starts a line
+    lines = canvas._wrap("aaaaaaaaaa,aaaa", 10 * 32, rast, False)
+    assert all(not ln.startswith(",") for ln in lines)
+
+
+def test_ruby_distribution_and_overhang():
+    """Wide ruby overhangs the base by at most half a ruby em; narrow
+    ruby distributes across the base span (renderer.py:1917-2202)."""
+    from findtextcenternet_tpu.factory.layout import Canvas
+    from findtextcenternet_tpu.factory.rasterizer import GlyphRasterizer
+    fonts = [f for f in find_fonts() if "DejaVuSans.ttf" in f]
+    if not fonts:
+        pytest.skip("no fonts")
+    rast = GlyphRasterizer(fonts[0], 40)
+    ruby = GlyphRasterizer(fonts[0], 20)
+    canvas = Canvas(800, 300)
+    canvas.draw_line("xx￹AB￺MMMMMMM￻xx", rast, 100, 150,
+                     ruby_rast=ruby)
+    pos = np.array([[b.cx, b.cy, b.w, b.h, b.code, b.flags]
+                    for b in canvas.boxes])
+    base = pos[pos[:, 5] == 2]
+    rub = pos[pos[:, 5] == 3]
+    assert len(base) == 2 and len(rub) == 7
+    b_x0 = (base[:, 0] - base[:, 2] / 2).min()
+    b_x1 = (base[:, 0] + base[:, 2] / 2).max()
+    r_x0 = (rub[:, 0] - rub[:, 2] / 2).min()
+    r_x1 = (rub[:, 0] + rub[:, 2] / 2).max()
+    # overhang bounded by ~half a ruby em each side
+    assert r_x0 >= b_x0 - ruby.size * 0.75
+    assert r_x1 <= b_x1 + ruby.size * 0.75
+    # ruby sits above the base line
+    assert rub[:, 1].max() < base[:, 1].min()
+
+
+def test_warichu_inline_flow():
+    """（...）runs render as two half-size rows inside the line and the
+    pen continues after them."""
+    from findtextcenternet_tpu.factory.layout import Canvas
+    from findtextcenternet_tpu.factory.rasterizer import GlyphRasterizer
+    fonts = [f for f in find_fonts() if "DejaVuSans.ttf" in f]
+    if not fonts:
+        pytest.skip("no fonts")
+    rast = GlyphRasterizer(fonts[0], 40)
+    half = GlyphRasterizer(fonts[0], 20)
+    canvas = Canvas(900, 300)
+    canvas.draw_line("AB（abcd）CD", rast, 60, 150, ruby_rast=half,
+                     wari=True)
+    pos = np.array([[b.cx, b.cy, b.w, b.h, b.code] for b in canvas.boxes])
+    assert len(pos) == 8
+    small = pos[np.isin(pos[:, 4], [ord(c) for c in "abcd"])]
+    big = pos[np.isin(pos[:, 4], [ord(c) for c in "ABCD"])]
+    assert small[:, 3].max() < big[:, 3].min()      # half size
+    # two rows: two distinct y clusters among the warichu chars
+    ys = np.sort(small[:, 1])
+    assert ys[-1] - ys[0] > 10
+    # CD continues after the note (pen advanced past it)
+    assert big[:, 0].max() > small[:, 0].max()
+
+
+def test_generator_new_kinds():
+    gen = PageGenerator(FONTS, width=500, height=500,
+                        charset="ABCDEFGHIJKLMNOP", seed=7)
+    hw = gen.generate(kind="handwriting")
+    assert len(hw["position"]) > 5
+    wari = gen.generate(kind="wari")
+    assert len(wari["position"]) > 10
+    # korean falls back to a char page without hangul coverage (DejaVu)
+    kr = gen.generate(kind="korean")
+    assert len(kr["position"]) > 10

@@ -9,7 +9,7 @@ from findtextcenternet_tpu.export.quantize import (
     ActivationCalibrator, cast_params, dequantize_params, quantize_params,
 )
 from findtextcenternet_tpu.tools.annotate import (
-    edit_annotation, empty_image, process_image4,
+    edit_annotation, empty_image,
 )
 
 
@@ -67,35 +67,6 @@ def test_empty_and_edit_annotation(tmp_path):
     assert tb["text"] == "あ" and tb["cx"] == 10.0
     with pytest.raises(KeyError):
         edit_annotation(str(p) + ".json", 0, bogus=1)
-
-
-class _FakePipe:
-    simple_decoder_vars = None
-
-    def run_detector(self, img):
-        from findtextcenternet_tpu.infer.pipeline import DetectedPage
-        locs = np.array([[0.9, 50, 40, 20, 20, 0, 0, 0, 0]], np.float32)
-        feats = np.arange(100, dtype=np.float32)[None]
-        return DetectedPage(locs, feats,
-                            np.zeros((20, 25), np.float32),
-                            np.zeros((20, 25), np.float32))
-
-
-def test_process_image4(tmp_path):
-    from PIL import Image
-    p = tmp_path / "page.png"
-    Image.new("RGB", (100, 80), "white").save(p)
-    with open(str(p) + ".json", "w", encoding="utf-8") as f:
-        json.dump({"textbox": [
-            {"cx": 51, "cy": 41, "w": 20, "h": 20, "text": "あ"},
-            {"cx": 5, "cy": 5, "w": 4, "h": 4, "text": "x"},  # no match
-        ]}, f)
-    out = process_image4(_FakePipe(), str(p))
-    feats = np.load(out + ".npy")
-    assert feats.shape == (1, 100)
-    with open(out + ".json", encoding="utf-8") as f:
-        boxlist = json.load(f)["textbox"]
-    assert len(boxlist) == 1 and boxlist[0]["text"] == "あ"
 
 
 def test_plot_ocr_json(tmp_path):
