@@ -129,9 +129,12 @@ def calibrate_detector(detector, variables, batches) -> "ActivationCalibrator":
 
     @jax.jit
     def run(v, images):
-        return detector.apply(v, images,
-                              capture_intermediates=True,
-                              mutable=["intermediates"])
+        # capture only the backbone output (the 4 taps) — capturing every
+        # submodule would hold the whole activation tree live (OOMs xl)
+        return detector.apply(
+            v, images,
+            capture_intermediates=lambda mdl, _m: mdl.name == "backbone",
+            mutable=["intermediates"])
 
     for images in batches:
         (heat, feats), st = run(variables, jnp.asarray(images))

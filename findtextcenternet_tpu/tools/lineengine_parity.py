@@ -373,6 +373,43 @@ def score_page(mine, ref):
 FIELDS = ["block", "idx", "subidx", "subtype", "page", "section"]
 
 
+def detector_page_blobs(rng, n_pages: int, model_size: str = "tiny",
+                        width: int = 1152, height: int = 768):
+    """Parity inputs from REAL detector output: factory pages run through
+    a random-weight detector (CPU), its noisy merged maps and filtered
+    box set fed verbatim to both engines — the true input distribution,
+    replacing the simulated ``--degrade`` noise (VERDICT r2 item 9).
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from ..config import Config, DetectorConfig
+    from ..factory import PageGenerator
+    from ..factory.rasterizer import find_fonts
+    from ..infer.pipeline import OCRPipeline
+
+    cfg = Config(detector=DetectorConfig(model_size=model_size))
+    pipe = OCRPipeline(cfg, decode_fn=lambda v, e: (
+        __import__("jax.numpy", fromlist=["zeros"]).zeros(
+            e.shape[:2], "int32"), None))
+    gen = PageGenerator(find_fonts(), width=width, height=height,
+                        seed=int(rng.integers(1 << 30)))
+    for i in range(n_pages):
+        page = gen.generate()
+        img = np.stack([page["image"]] * 3, -1)
+        det = pipe.run_detector(img)
+        if len(det.locations) == 0:
+            continue
+        mh, mw = det.lines.shape
+        blob = struct.pack("<III", 0, mw, mh)
+        blob += det.lines.astype(np.float32).tobytes()
+        blob += det.seps.astype(np.float32).tobytes()
+        blob += struct.pack("<I", len(det.locations))
+        blob += np.ascontiguousarray(det.locations[:, 1:],
+                                     np.float32).tobytes()
+        yield f"detector_page_{i}", blob
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref-bin", default="/tmp/ref_linedetect/linedetect")
@@ -383,6 +420,10 @@ def main():
                     help="substring filter on generator name")
     ap.add_argument("--degrade", action="store_true",
                     help="detector-like noisy maps + box jitter")
+    ap.add_argument("--detector", action="store_true",
+                    help="inputs from a real random-weight detector run "
+                         "on factory pages (CPU; slower per page)")
+    ap.add_argument("--model-size", default="tiny")
     ap.add_argument("--dump-dir", default=None,
                     help="write diverging pages' blobs here")
     args = ap.parse_args()
@@ -392,6 +433,28 @@ def main():
     lineengine.build_native()
 
     rng = np.random.default_rng(args.seed)
+
+    if args.detector:
+        tot = np.zeros(6, dtype=int)
+        grand_total = grand_full = 0
+        for name, blob in detector_page_blobs(rng, args.pages,
+                                              args.model_size):
+            ref = run_engine(args.ref_bin, blob)
+            mine = run_engine(my_bin, blob)
+            s = score_page(mine, ref)
+            grand_total += s["total"]
+            grand_full += s["full"]
+            tot += np.asarray(s["fields"])
+            print(f"{name}: {s['full']}/{s['total']}", flush=True)
+            if args.dump_dir and s["full"] < s["total"]:
+                import os
+                os.makedirs(args.dump_dir, exist_ok=True)
+                with open(f"{args.dump_dir}/{name}.in.bin", "wb") as f:
+                    f.write(blob)
+        pct = 100.0 * grand_full / max(1, grand_total)
+        print(f"TOTAL {grand_full}/{grand_total} rows ({pct:.2f}%)")
+        return 0 if grand_full == grand_total else 1
+
     gens = [g for g in GENERATORS
             if not args.only or args.only in g.__name__]
     tot = np.zeros(6, dtype=int)

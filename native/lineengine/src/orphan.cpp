@@ -137,8 +137,9 @@ int claim_orphans(const Context& ctx, std::vector<Box>& boxes,
                     if (std::fabs(y1 - y2) > 0) {
                         float slope = (b.cx - a.cx) / (y2 - y1);
                         // reference quirk (number_unbind.cpp:225): the
-                        // loop bound uses the x coordinate
-                        for (int y = (int)y1; y < b.cx - b.w / 2;
+                        // loop bound uses b's CENTER x coordinate (x2 =
+                        // boxes[boxid2].cx), not its left edge
+                        for (int y = (int)y1; y < b.cx;
                              y += ctx.p.scale) {
                             int yi = y / ctx.p.scale;
                             int xi = (int)(slope * (y - y1) + a.cx) /
