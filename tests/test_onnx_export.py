@@ -1,0 +1,132 @@
+"""Self-contained ONNX export: emitted graphs reproduce the flax models.
+
+The emitted artifacts mirror the reference's four deployment graphs
+(`/root/reference/convert1_onnx.py:29-56`, `convert3_onnx.py:39-56`).
+With no onnxruntime in the image, validation runs the serialized graphs
+through the in-tree numpy evaluator (`export/onnx_writer.OnnxEvaluator`)
+and compares against the live flax forward passes.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from findtextcenternet_tpu.export.onnx_models import (
+    emit_code_decoder, emit_detector, emit_transformer_decoder,
+    emit_transformer_encoder,
+)
+from findtextcenternet_tpu.export.onnx_writer import (
+    OnnxEvaluator, OnnxGraph, parse_model,
+)
+from findtextcenternet_tpu.models import Transformer, TransformerDims
+from findtextcenternet_tpu.models.detector import (
+    CenterNetDetection, SimpleDecoder, detect_peaks,
+)
+from findtextcenternet_tpu.models.transformer import make_key_mask
+
+TINY = TransformerDims(enc_input_dim=12, embed_dim=16, head_num=2,
+                       enc_block_num=2, dec_block_num=2,
+                       max_enc_seq_len=8, max_dec_seq_len=8)
+
+
+def test_wire_roundtrip():
+    g = OnnxGraph("t")
+    x = g.add_input("x", [1, 4])
+    w = g.init(np.arange(8, dtype=np.float32).reshape(4, 2), "w")
+    g.node("MatMul", [x, w], out="y")
+    g.add_output("y", [1, 2])
+    m = parse_model(g.serialize())
+    assert m["opset"] == 20
+    assert [n["op"] for n in m["nodes"]] == ["MatMul"]
+    assert m["outputs"] == ["y"]
+    np.testing.assert_array_equal(
+        m["inits"]["w_1"], np.arange(8, dtype=np.float32).reshape(4, 2))
+
+
+def test_detector_onnx_matches_flax(rng):
+    model = CenterNetDetection(model_size="tiny", feature_dim=8)
+    img = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    # random-walk the batch stats so BN isn't the identity
+    variables = jax.tree.map(
+        lambda a: a + 0.05 * rng.standard_normal(a.shape).astype(a.dtype)
+        if a.dtype == jnp.float32 else a, variables)
+
+    heat, feat = model.apply(variables, img)
+    live = detect_peaks(heat)
+
+    blob = emit_detector(jax.tree.map(np.asarray, variables), "tiny",
+                         height=64, width=64, feature_dim=8)
+    out = OnnxEvaluator(blob)(
+        image=np.transpose(np.asarray(img), (0, 3, 1, 2)))
+    got_heat = np.transpose(out["heatmap"], (0, 2, 3, 1))
+    got_feat = np.transpose(out["feature"], (0, 2, 3, 1))
+    np.testing.assert_allclose(got_heat, np.asarray(live),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got_feat, np.asarray(feat),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_code_decoder_onnx_matches_flax(rng):
+    model = SimpleDecoder(mid_dim=32)
+    x = jnp.asarray(rng.standard_normal((4, 100)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), x)
+    variables = jax.tree.map(
+        lambda a: a + 0.05 * rng.standard_normal(a.shape).astype(a.dtype)
+        if a.dtype == jnp.float32 else a, variables)
+    live = model.apply(variables, x)
+
+    blob = emit_code_decoder(jax.tree.map(np.asarray, variables), batch=4)
+    out = OnnxEvaluator(blob)(feature_input=np.asarray(x))
+    from findtextcenternet_tpu.const import MODULO_LIST
+    for m, lv in zip(MODULO_LIST, live):
+        np.testing.assert_allclose(
+            out[f"modulo_{m}"], np.asarray(jax.nn.softmax(lv, axis=-1)),
+            rtol=1e-4, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tf_model_and_vars():
+    model = Transformer(TINY)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, 12)),
+                           jnp.zeros((1, 8), jnp.int32))
+    return model, variables
+
+
+def test_transformer_encoder_onnx_matches_flax(rng, tf_model_and_vars):
+    model, variables = tf_model_and_vars
+    enc_in = np.asarray(rng.standard_normal((1, 8, 12)), np.float32)
+    enc_in[0, 6:] = 0.0          # padding tail exercises the key mask
+    live = model.apply(variables, jnp.asarray(enc_in),
+                       method=Transformer.encode)
+
+    blob = emit_transformer_encoder(jax.tree.map(np.asarray, variables),
+                                    TINY)
+    km = np.where(np.all(enc_in == 0, -1), -np.inf, 0.0)[:, None, None, :]
+    out = OnnxEvaluator(blob)(encoder_input=enc_in,
+                              key_mask=km.astype(np.float32))
+    np.testing.assert_allclose(out["encoder_output"], np.asarray(live),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_transformer_decoder_onnx_matches_flax(rng, tf_model_and_vars):
+    model, variables = tf_model_and_vars
+    enc_in = jnp.asarray(rng.standard_normal((1, 8, 12)), jnp.float32)
+    km = make_key_mask(enc_in)
+    enc_out = model.apply(variables, enc_in, method=Transformer.encode)
+    dec_in = rng.integers(0, 5000, (1, 8))
+    live = model.apply(variables, jnp.asarray(dec_in, jnp.int32), enc_out,
+                       km, method=Transformer.decode)
+
+    blob = emit_transformer_decoder(jax.tree.map(np.asarray, variables),
+                                    TINY)
+    out = OnnxEvaluator(blob)(
+        encoder_output=np.asarray(enc_out),
+        decoder_input=dec_in.astype(np.int64),
+        key_mask=np.asarray(km, np.float32))
+    from findtextcenternet_tpu.const import MODULO_LIST
+    for m, lv in zip(MODULO_LIST, live):
+        np.testing.assert_allclose(
+            out[f"modulo_{m}"], np.asarray(jax.nn.softmax(lv, axis=-1)),
+            rtol=1e-4, atol=1e-5)
