@@ -321,11 +321,29 @@ def _parse_attr(buf: bytes) -> dict:
 
 
 def _parse_vi(buf: bytes):
-    name = ""
+    """ValueInfoProto -> {name, dtype, shape} (shape dims are int or
+    str for symbolic dim_params)."""
+    name, dtype, shape = "", None, []
     for f, v in _read_fields(buf):
         if f == 1:
             name = v.decode()
-    return name
+        elif f == 2:                       # TypeProto
+            for f2, v2 in _read_fields(v):
+                if f2 != 1:                # tensor_type
+                    continue
+                for f3, v3 in _read_fields(v2):
+                    if f3 == 1:
+                        dtype = v3
+                    elif f3 == 2:          # TensorShapeProto
+                        for f4, v4 in _read_fields(v3):
+                            if f4 != 1:    # dim
+                                continue
+                            for f5, v5 in _read_fields(v4):
+                                if f5 == 1:
+                                    shape.append(v5)
+                                elif f5 == 2:
+                                    shape.append(v5.decode())
+    return {"name": name, "dtype": dtype, "shape": shape}
 
 
 # ---------------------------------------------------------------------------
@@ -353,7 +371,7 @@ class OnnxEvaluator:
                 res = (res,)
             for o, r in zip(node["outputs"], res):
                 env[o] = r
-        return {o: env[o] for o in self.m["outputs"]}
+        return {o["name"]: env[o["name"]] for o in self.m["outputs"]}
 
     # --- ops -----------------------------------------------------------
     @staticmethod

@@ -1,0 +1,150 @@
+"""Detector train-step throughput + MFU on the local device.
+
+The reference trains the xl detector at batch 32 on one GPU
+(`/root/reference/train1.py:18-25,176-180`); this tool measures the
+TPU-native equivalent — `detector_train_step` (bf16, CoV weighting,
+schedule-free AdamW, on-device gradient accumulation via `lax.scan`) —
+and reports images/sec, step latency, and model FLOP utilization from
+XLA's compiled cost analysis.
+
+MFU here counts every FLOP XLA schedules (including the ~30% recompute
+that `--remat` adds), i.e. hardware utilization of the compiled program;
+`mfu_algorithmic` discounts to the no-remat FLOP count when both numbers
+are measured.
+
+Measurement notes (axon remote-TPU): dispatch is fully async and
+`block_until_ready` does not wait for remote completion, so every timing
+brackets a host readback of a scalar from the step's metrics (the device
+stream is in-order, so this syncs the whole loop).
+
+Usage::
+
+    python -m findtextcenternet_tpu.tools.train_bench \
+        --model-size xl --batch 32 --accum 4 --remat
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+# v5e: 197 bf16 TFLOP/s per chip; override with --peak-tflops for other
+# generations (v4: 275, v5p: 459, v6e: 918)
+DEFAULT_PEAK_TFLOPS = 197.0
+
+
+def fake_batch(rng, batch: int, h: int, w: int, scale: int = 4):
+    mh, mw = h // scale, w // scale
+    labelmap = np.zeros((batch, mh, mw, 5), np.float32)
+    idmap = np.zeros((batch, mh, mw, 2), np.int32)
+    # sprinkle plausible GT peaks so topk_fmask/losses see real structure
+    n = 600
+    ys = rng.integers(2, mh - 2, (batch, n))
+    xs = rng.integers(2, mw - 2, (batch, n))
+    for b in range(batch):
+        labelmap[b, ys[b], xs[b], 0] = 1.0
+        labelmap[b, ys[b], xs[b], 1] = rng.uniform(1.0, 3.0, n)
+        labelmap[b, ys[b], xs[b], 2] = rng.uniform(1.0, 3.0, n)
+        idmap[b, ys[b], xs[b], 0] = rng.integers(1, 0x3000, n)
+    return {
+        "image": rng.uniform(0, 1, (batch, h, w, 3)).astype(np.float32),
+        "labelmap": labelmap,
+        "idmap": idmap,
+    }
+
+
+def _total_flops(compiled) -> float:
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return float(ca.get("flops", 0.0))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-size", default="xl")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--accum", type=int, default=4,
+                    help="on-device micro-batch count (lax.scan)")
+    ap.add_argument("--image", type=int, default=768)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--peak-tflops", type=float,
+                    default=DEFAULT_PEAK_TFLOPS)
+    ap.add_argument("--no-remat-flops", type=float, default=0.0,
+                    help="scheduled FLOPs of the no-remat compile (for "
+                         "mfu_algorithmic); measure once with --remat off")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from ..config import Config, DetectorConfig
+    from ..train.steps import detector_train_step
+    from ..train.train1 import build_detector_state
+
+    cfg = Config(detector=DetectorConfig(
+        model_size=args.model_size, remat=args.remat,
+        image_size=(args.image, args.image)))
+    model, state = build_detector_state(cfg, mesh=None, seed=0)
+
+    rng = np.random.default_rng(0)
+    batch = {k: jax.device_put(v) for k, v in
+             fake_batch(rng, args.batch, args.image, args.image).items()}
+
+    step = jax.jit(lambda s, b: detector_train_step(
+        s, b, fmask_k=cfg.detector.fmask_topk_per_sample,
+        accum_steps=args.accum))
+
+    t0 = time.perf_counter()
+    lowered = step.lower(state, batch)
+    compiled = lowered.compile()
+    compile_s = time.perf_counter() - t0
+    flops = _total_flops(compiled)
+
+    def sync(metrics):
+        return float(np.asarray(metrics["keymap_loss"], np.float32))
+
+    state2, metrics = compiled(state, batch)
+    sync(metrics)
+    state2, metrics = compiled(state2, batch)
+    sync(metrics)
+
+    t0 = time.perf_counter()
+    s = state2
+    for _ in range(args.iters):
+        s, metrics = compiled(s, batch)
+    sync(metrics)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    mfu = flops / dt / (args.peak_tflops * 1e12) if flops else None
+    out = {
+        "metric": "detector_train_imgs_per_sec",
+        "value": round(args.batch / dt, 2),
+        "unit": "img/s",
+        "model_size": args.model_size,
+        "batch": args.batch,
+        "accum_steps": args.accum,
+        "image": args.image,
+        "remat": args.remat,
+        "step_ms": round(dt * 1e3, 1),
+        "compile_s": round(compile_s, 1),
+        "scheduled_tflops_per_step": round(flops / 1e12, 2) if flops
+        else None,
+        "mfu_hardware": round(mfu, 4) if mfu else None,
+    }
+    if args.no_remat_flops and flops:
+        out["mfu_algorithmic"] = round(
+            args.no_remat_flops / dt / (args.peak_tflops * 1e12), 4)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

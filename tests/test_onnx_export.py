@@ -38,7 +38,8 @@ def test_wire_roundtrip():
     m = parse_model(g.serialize())
     assert m["opset"] == 20
     assert [n["op"] for n in m["nodes"]] == ["MatMul"]
-    assert m["outputs"] == ["y"]
+    assert [o["name"] for o in m["outputs"]] == ["y"]
+    assert m["inputs"][0]["shape"] == [1, 4]
     np.testing.assert_array_equal(
         m["inits"]["w_1"], np.arange(8, dtype=np.float32).reshape(4, 2))
 
@@ -108,6 +109,51 @@ def test_transformer_encoder_onnx_matches_flax(rng, tf_model_and_vars):
                               key_mask=km.astype(np.float32))
     np.testing.assert_allclose(out["encoder_output"], np.asarray(live),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_coreml_mapping_detector_matches_onnx(rng):
+    """The ONNX->MIL mapping (numpy backend) reproduces the detector
+    graph — the in-tree validation of the CoreML conversion path."""
+    from findtextcenternet_tpu.export.coreml_models import run_mapped_numpy
+
+    model = CenterNetDetection(model_size="tiny", feature_dim=8)
+    img = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    blob = emit_detector(jax.tree.map(np.asarray, variables), "tiny",
+                         height=64, width=64, feature_dim=8)
+    feeds = {"image": np.transpose(np.asarray(img), (0, 3, 1, 2))}
+    ref = OnnxEvaluator(blob)(**feeds)
+    got = run_mapped_numpy(blob, feeds)
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-5)
+
+
+def test_coreml_mapping_transformer_matches_onnx(rng, tf_model_and_vars):
+    from findtextcenternet_tpu.export.coreml_models import run_mapped_numpy
+
+    model, variables = tf_model_and_vars
+    enc_in = np.asarray(rng.standard_normal((1, 8, 12)), np.float32)
+    km = np.zeros((1, 1, 1, 8), np.float32)
+    blob = emit_transformer_encoder(jax.tree.map(np.asarray, variables),
+                                    TINY)
+    feeds = {"encoder_input": enc_in, "key_mask": km}
+    ref = OnnxEvaluator(blob)(**feeds)
+    got = run_mapped_numpy(blob, feeds)
+    np.testing.assert_allclose(got["encoder_output"],
+                               ref["encoder_output"], rtol=1e-5, atol=1e-5)
+
+    enc_out = ref["encoder_output"]
+    dec_blob = emit_transformer_decoder(
+        jax.tree.map(np.asarray, variables), TINY)
+    dfeeds = {"encoder_output": enc_out,
+              "decoder_input": rng.integers(0, 5000, (1, 8)).astype(
+                  np.int64),
+              "key_mask": km}
+    dref = OnnxEvaluator(dec_blob)(**dfeeds)
+    dgot = run_mapped_numpy(dec_blob, dfeeds)
+    for k in dref:
+        np.testing.assert_allclose(dgot[k], dref[k], rtol=1e-5, atol=1e-6)
 
 
 def test_transformer_decoder_onnx_matches_flax(rng, tf_model_and_vars):
