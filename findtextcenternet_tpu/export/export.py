@@ -46,20 +46,42 @@ def _unflatten(flat: Dict[str, np.ndarray]):
     return tree
 
 
+def _arg_struct(shape, dtype, batch, scope=None):
+    """ShapeDtypeStruct for an export arg; a string ``batch`` makes the
+    leading dim symbolic (one artifact serves every batch size — the
+    pipeline's tile chunks and power-of-two window buckets). Args of one
+    export must share ``scope``."""
+    if isinstance(batch, str):
+        sym = jax_export.symbolic_shape(batch, scope=scope)[0]
+        return jax.ShapeDtypeStruct((sym,) + tuple(shape[1:]), dtype)
+    return jax.ShapeDtypeStruct((batch,) + tuple(shape[1:]), dtype)
+
+
+def _sym_scope(batch):
+    return jax_export.SymbolicScope() if isinstance(batch, str) else None
+
+
 def save_exported(outdir: str, fn: Callable, variables, example_args: Tuple,
                   kind: str):
     """Export ``fn(variables, *example_args)`` with variables baked as the
-    first argument; saves StableHLO + params + metadata."""
+    first argument; saves StableHLO + params + metadata. Example args may
+    be ShapeDtypeStructs with symbolic (polymorphic) dimensions."""
     os.makedirs(outdir, exist_ok=True)
     exp = jax_export.export(jax.jit(fn))(variables, *example_args)
     with open(os.path.join(outdir, "fn.stablehlo"), "wb") as f:
         f.write(exp.serialize())
     flat = _flatten(jax.device_get(variables))
     np.savez(os.path.join(outdir, "params.npz"), **flat)
+
+    def _dims(a):
+        return [d if isinstance(d, int) else str(d)
+                for d in (a.shape if hasattr(a, "shape") else np.shape(a))]
+
     meta = {
         "kind": kind,
-        "args": [{"shape": list(np.shape(a)),
-                  "dtype": str(np.asarray(a).dtype)}
+        "args": [{"shape": _dims(a),
+                  "dtype": str(a.dtype if hasattr(a, "dtype")
+                               else np.asarray(a).dtype)}
                  for a in example_args],
     }
     with open(os.path.join(outdir, "meta.json"), "w") as f:
@@ -83,32 +105,35 @@ def load_exported(outdir: str):
 # ---------------------------------------------------------------------------
 
 def export_detector(outdir: str, model, variables,
-                    tile: int = 768, batch: int = 1):
+                    tile: int = 768, batch=1):
     """Detector + 3x3 peak NMS -> 10-channel map + features
-    (reference ``CenterNetDetector``, `models/detector.py:283-296`)."""
+    (reference ``CenterNetDetector``, `models/detector.py:283-296`).
+
+    ``batch`` may be a symbolic-dimension name (e.g. ``"b"``) so the one
+    artifact serves every tile-chunk size."""
     from ..models.detector import detect_peaks
 
     def fn(variables, images):
         heatmap, features = model.apply(variables, images)
         return detect_peaks(heatmap), features
 
-    x = jnp.zeros((batch, tile, tile, 3), jnp.float32)
+    x = _arg_struct((1, tile, tile, 3), jnp.float32, batch)
     return save_exported(outdir, fn, variables, (x,), "detector")
 
 
-def export_code_decoder(outdir: str, model, variables, batch: int = 256):
+def export_code_decoder(outdir: str, model, variables, batch=256):
     """SimpleDecoder with softmaxed outputs (reference ``CodeDecoder``)."""
     def fn(variables, feats):
         outs = model.apply(variables, feats)
         return tuple(jax.nn.softmax(o, axis=-1) for o in outs)
 
     from ..const import FEATURE_DIM
-    x = jnp.zeros((batch, FEATURE_DIM), jnp.float32)
+    x = _arg_struct((1, FEATURE_DIM), jnp.float32, batch)
     return save_exported(outdir, fn, variables, (x,), "code_decoder")
 
 
 def export_transformer_encoder(outdir: str, model, variables,
-                               batch: int = 1):
+                               batch=1):
     """Encoder-only (reference ``TransformerEncoderPredictor``)."""
     from ..models.transformer import Transformer
 
@@ -116,12 +141,13 @@ def export_transformer_encoder(outdir: str, model, variables,
         return model.apply(variables, enc_input, method=Transformer.encode)
 
     d = model.dims
-    x = jnp.zeros((batch, d.max_enc_seq_len, d.enc_input_dim), jnp.float32)
+    x = _arg_struct((1, d.max_enc_seq_len, d.enc_input_dim), jnp.float32,
+                    batch)
     return save_exported(outdir, fn, variables, (x,), "transformer_encoder")
 
 
 def export_transformer_decoder(outdir: str, model, variables,
-                               batch: int = 1):
+                               batch=1):
     """Decoder-only with softmaxed per-modulus outputs
     (reference ``TransformerDecoderPredictor``)."""
     from ..models.transformer import Transformer
@@ -132,8 +158,11 @@ def export_transformer_decoder(outdir: str, model, variables,
         return tuple(jax.nn.softmax(o, axis=-1) for o in outs)
 
     d = model.dims
-    dec = jnp.zeros((batch, d.max_dec_seq_len), jnp.int32)
-    enc = jnp.zeros((batch, d.max_enc_seq_len, d.embed_dim), jnp.float32)
-    km = jnp.zeros((batch, 1, 1, d.max_enc_seq_len), jnp.float32)
+    scope = _sym_scope(batch)
+    dec = _arg_struct((1, d.max_dec_seq_len), jnp.int32, batch, scope)
+    enc = _arg_struct((1, d.max_enc_seq_len, d.embed_dim), jnp.float32,
+                      batch, scope)
+    km = _arg_struct((1, 1, 1, d.max_enc_seq_len), jnp.float32, batch,
+                     scope)
     return save_exported(outdir, fn, variables, (dec, enc, km),
                          "transformer_decoder")

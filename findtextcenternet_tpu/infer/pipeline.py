@@ -286,6 +286,58 @@ class OCRPipeline:
         return self
 
     # ------------------------------------------------------------------
+    @classmethod
+    def from_exported(cls, detector_dir: str, encoder_dir: str,
+                      decoder_dir: str, config: Config = Config(),
+                      model_size: str = "xl") -> "OCRPipeline":
+        """Pipeline driven by *exported* StableHLO artifacts.
+
+        The TPU-native analog of the reference's alternate inference
+        backends, which run the deployed ONNX/CoreML graphs instead of
+        the live model (`/root/reference/process_ocr_onnx.py:27-72`,
+        `run_ocr.py:5-21`): detection and mask-predict decode call the
+        serialized graphs from :mod:`..export.export`; every host stage
+        is shared. Artifacts exported with a symbolic batch dim serve
+        any tile-chunk / window-bucket size.
+        """
+        from ..export.export import load_exported
+        from ..models.transformer import mask_predict_fns
+
+        det_call, det_params, det_meta = load_exported(detector_dir)
+        enc_call, enc_params, _ = load_exported(encoder_dir)
+        dec_call, dec_params, _ = load_exported(decoder_dir)
+        if det_meta["kind"] != "detector":
+            raise ValueError(f"{detector_dir}: kind {det_meta['kind']}")
+
+        def detector_apply(variables, images):
+            # exported graph returns the 10-channel peak-suppressed map
+            # (keymap, peakmap, rest); the pipeline's fused peak
+            # extraction recomputes NMS from the keymap, so drop the
+            # redundant peak channel to recover the 9-channel layout
+            out10, features = det_call(variables, images)
+            heat9 = jnp.concatenate([out10[..., 0:1], out10[..., 2:]],
+                                    axis=-1)
+            return heat9, features
+
+        mp = config.mask_predict
+
+        def decode_fn(variables, enc_input):
+            return mask_predict_fns(
+                lambda e: enc_call(variables["enc"], e),
+                lambda d, e, km: dec_call(variables["dec"], d, e, km),
+                enc_input, config.transformer.max_dec_seq_len,
+                max_rounds=mp.max_rounds, topk=mp.topk,
+                remask_threshold=mp.remask_threshold,
+                early_stop_threshold=mp.early_stop_threshold)
+
+        self = cls(config, detector_variables=det_params,
+                   transformer_variables={"enc": enc_params,
+                                          "dec": dec_params},
+                   model_size=model_size, detector_apply=detector_apply,
+                   decode_fn=decode_fn)
+        return self
+
+    # ------------------------------------------------------------------
     # stage 1: tiled detection
     # ------------------------------------------------------------------
 

@@ -278,10 +278,17 @@ def crt_combine_topk(logits: Sequence[jnp.ndarray], topk: int = 3):
     Matches the semantics of the reference's python-side product search
     (`/root/reference/models/transformer.py:306-323`) but fully vectorized.
     """
+    probs = [jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
+             for lg in logits]
+    return crt_combine_topk_probs(probs, topk)
+
+
+def crt_combine_topk_probs(probs: Sequence[jnp.ndarray], topk: int = 3):
+    """:func:`crt_combine_topk` over already-softmaxed probabilities
+    (the form the exported decoder artifacts emit)."""
     tops = []
-    for lg in logits:
-        p = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
-        tp, ti = jax.lax.top_k(p, topk)  # (B, L, k)
+    for p in probs:
+        tp, ti = jax.lax.top_k(p.astype(jnp.float32), topk)  # (B, L, k)
         tops.append((tp, ti))
 
     (p0, i0), (p1, i1), (p2, i2) = tops
@@ -324,9 +331,35 @@ def mask_predict(model: Transformer, params, enc_input,
 
     Returns ``(codes[B, max_dec_seq_len], probs[B, max_dec_seq_len])``.
     """
-    dec_len = model.dims.max_dec_seq_len
+    def decode_probs(dec_input, enc_output, key_mask):
+        logits = model.apply(params, dec_input, enc_output, key_mask,
+                             method=Transformer.decode)
+        return [jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
+                for lg in logits]
+
+    return mask_predict_fns(
+        lambda e: model.apply(params, e, method=Transformer.encode),
+        decode_probs, enc_input, model.dims.max_dec_seq_len,
+        max_rounds=max_rounds, topk=topk,
+        remask_threshold=remask_threshold,
+        early_stop_threshold=early_stop_threshold)
+
+
+def mask_predict_fns(encode_fn, decode_probs_fn, enc_input, dec_len: int,
+                     max_rounds: int = 8, topk: int = 3,
+                     remask_threshold: float = 0.9,
+                     early_stop_threshold: float = 0.99):
+    """:func:`mask_predict` over opaque encode/decode callables.
+
+    ``encode_fn(enc_input) -> enc_output``;
+    ``decode_probs_fn(dec_input, enc_output, key_mask) -> per-modulus
+    softmaxed probabilities``. This is the driver for *exported*
+    encoder/decoder artifacts (the TPU-native analog of the reference's
+    onnx/coreml backends, `/root/reference/process_ocr_onnx.py:27-72`),
+    and the backend of :func:`mask_predict` itself.
+    """
     key_mask = make_key_mask(enc_input)
-    enc_output = model.apply(params, enc_input, method=Transformer.encode)
+    enc_output = encode_fn(enc_input)
 
     b = enc_input.shape[0]
     init_input = jnp.full((b, dec_len), DECODER_MSK, dtype=jnp.int32)
@@ -339,9 +372,8 @@ def mask_predict(model: Transformer, params, enc_input,
 
     def body(carry):
         dec_input, _, _, k, _ = carry
-        logits = model.apply(params, dec_input, enc_output, key_mask,
-                             method=Transformer.decode)
-        code, p = crt_combine_topk(logits, topk)
+        probs = decode_probs_fn(dec_input, enc_output, key_mask)
+        code, p = crt_combine_topk_probs(probs, topk)
         invalid = p <= 0.0  # invalid reconstructions got prob 0
 
         newly = jnp.logical_and(dec_input == DECODER_MSK, code > 0)

@@ -77,6 +77,10 @@ def main(argv=None):
     ap.add_argument("--no-remat-flops", type=float, default=0.0,
                     help="scheduled FLOPs of the no-remat compile (for "
                          "mfu_algorithmic); measure once with --remat off")
+    ap.add_argument("--dry", action="store_true",
+                    help="compile only: report FLOPs + compiled memory "
+                         "footprint without executing (safe probe for "
+                         "configs that might OOM the chip)")
     args = ap.parse_args(argv)
 
     import jax
@@ -108,19 +112,52 @@ def main(argv=None):
     compiled = lowered.compile()
     compile_s = time.perf_counter() - t0
     flops = _total_flops(compiled)
+    # XLA cost analysis counts a while/scan body ONCE; the accumulation
+    # scan runs it accum times, so scale to the true per-step FLOPs.
+    # (The non-loop part — optimizer update, CoV — is >100x smaller than
+    # one micro-batch fwd+bwd, so the overcount is negligible.)
+    if args.accum > 1 and flops:
+        flops *= args.accum
+
+    mem = {}
+    try:
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+                      "output_size_in_bytes", "alias_size_in_bytes",
+                      "generated_code_size_in_bytes"):
+                v = getattr(ma, k, None)
+                if v is not None:
+                    mem[k.replace("_size_in_bytes", "_gb")] = round(
+                        v / 2**30, 3)
+    except Exception as e:             # axon may not expose it
+        mem["memory_analysis_error"] = str(e)[:80]
+
+    if args.dry:
+        print(json.dumps({
+            "metric": "detector_train_dry_compile",
+            "model_size": args.model_size, "batch": args.batch,
+            "accum_steps": args.accum, "image": args.image,
+            "remat": args.remat, "compile_s": round(compile_s, 1),
+            "scheduled_tflops_per_step": round(flops / 1e12, 2)
+            if flops else None, **mem,
+        }))
+        return
 
     def sync(metrics):
         return float(np.asarray(metrics["keymap_loss"], np.float32))
 
-    state2, metrics = compiled(state, batch)
+    # rebind `state` each call so the previous iterate is freed before
+    # the next dispatch — without donation a dead 3 GB state copy pushes
+    # the xl step over the chip's HBM
+    state, metrics = compiled(state, batch)
     sync(metrics)
-    state2, metrics = compiled(state2, batch)
+    state, metrics = compiled(state, batch)
     sync(metrics)
 
     t0 = time.perf_counter()
-    s = state2
     for _ in range(args.iters):
-        s, metrics = compiled(s, batch)
+        state, metrics = compiled(state, batch)
     sync(metrics)
     dt = (time.perf_counter() - t0) / args.iters
 
@@ -139,6 +176,7 @@ def main(argv=None):
         "scheduled_tflops_per_step": round(flops / 1e12, 2) if flops
         else None,
         "mfu_hardware": round(mfu, 4) if mfu else None,
+        **mem,
     }
     if args.no_remat_flops and flops:
         out["mfu_algorithmic"] = round(
