@@ -37,6 +37,55 @@ def _oihw(kernel_hwio: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(kernel_hwio, (3, 2, 0, 1)))
 
 
+class QdqContext:
+    """Static-int8 QDQ insertion for :func:`emit_detector_qdq`.
+
+    Mirrors the reference's ONNX quantization contract
+    (`/root/reference/quantize1_onnx.py:96-117`): QInt8 per-output-channel
+    weights, QUInt8 activations from calibrated ranges, with the feature
+    head and key-heatmap head excluded. ``act_ranges`` comes from
+    :func:`..export.quantize.calibrate_detector_edges`, keyed by flax
+    module path — emission threads the same paths.
+    """
+
+    def __init__(self, act_ranges, exclude=None):
+        import re
+
+        from .quantize import DEFAULT_EXCLUDE
+
+        self.ranges = act_ranges or {}
+        self.rx = [re.compile(p) for p in (exclude or DEFAULT_EXCLUDE)]
+
+    def excluded(self, path: str) -> bool:
+        return any(r.match(path) for r in self.rx)
+
+    def weight(self, g: "OnnxGraph", w_oihw: np.ndarray, path: str) -> str:
+        """Per-output-channel symmetric int8 weight + DequantizeLinear;
+        excluded paths return a plain float initializer."""
+        if self.excluded(path):
+            return g.init(w_oihw, "w")
+        amax = np.max(np.abs(w_oihw), axis=(1, 2, 3))
+        scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        q = np.clip(np.round(w_oihw / scale[:, None, None, None]),
+                    -127, 127).astype(np.int8)
+        return g.node("DequantizeLinear",
+                      [g.init(q, "wq"), g.init(scale, "ws")], axis=0)
+
+    def act(self, g: "OnnxGraph", x: str, path: str) -> str:
+        """QUInt8 quantize->dequantize pair at a calibrated edge; edges
+        without a range (or excluded) pass through in float."""
+        if path not in self.ranges or self.excluded(path):
+            return x
+        lo, hi = self.ranges[path]
+        lo, hi = min(lo, 0.0), max(hi, 0.0)   # uint8 range must span 0
+        scale = max((hi - lo) / 255.0, 1e-12)
+        zp = int(np.clip(round(-lo / scale), 0, 255))
+        sc = g.init(np.float32(scale).reshape(()), "as")
+        zc = g.init(np.uint8(zp).reshape(()), "az")
+        q = g.node("QuantizeLinear", [x, sc, zc])
+        return g.node("DequantizeLinear", [q, sc, zc])
+
+
 class _Emit:
     """Shared node-building helpers over an :class:`OnnxGraph`."""
 
@@ -44,11 +93,13 @@ class _Emit:
         self.g = g
 
     def conv(self, x: str, params, *, stride=1, groups=1, bias=False,
-             pad=None) -> str:
+             pad=None, qdq=None, path="") -> str:
         w = _np(params, "kernel")
         kh = w.shape[0]
         p = (kh - 1) // 2 if pad is None else pad
-        inputs = [x, self.g.init(_oihw(w), "w")]
+        wname = (qdq.weight(self.g, _oihw(w), path) if qdq is not None
+                 else self.g.init(_oihw(w), "w"))
+        inputs = [x, wname]
         if bias:
             inputs.append(self.g.init(_np(params, "bias"), "b"))
         return self.g.node(
@@ -101,34 +152,44 @@ class _Emit:
 
 
 def _emit_backbone(e: _Emit, x: str, params, stats, model_size: str,
-                   bn_eps: float = 1e-3) -> Sequence[str]:
-    """EfficientNetV2 trunk -> the 4 multi-scale taps (NCHW names)."""
+                   bn_eps: float = 1e-3, qdq=None) -> Sequence[str]:
+    """EfficientNetV2 trunk -> the 4 multi-scale taps (NCHW names).
+
+    With ``qdq`` set, weights go int8 per-channel and activations get
+    uint8 QDQ pairs at every ConvBNAct output and residual block output
+    (keys match :func:`..export.quantize.calibrate_detector_edges`)."""
     cfgs = EFFNET_V2_CONFIGS[model_size]
     tap_stages = {1, 2, 4}
 
-    def cba(x, p, s, *, stride=1, groups=1, act=True):
-        y = e.conv(x, p["conv"], stride=stride, groups=groups)
+    def cba(x, p, s, mpath, *, stride=1, groups=1, act=True):
+        y = e.conv(x, p["conv"], stride=stride, groups=groups, qdq=qdq,
+                   path=mpath)
         y = e.bn(y, p["bn"], s["bn"], bn_eps)
-        return e.silu(y) if act else y
+        y = e.silu(y) if act else y
+        return qdq.act(e.g, y, mpath) if qdq is not None else y
 
-    x = cba(x, params["stem"], stats["stem"], stride=2)
+    x = cba(x, params["stem"], stats["stem"], "backbone/stem", stride=2)
     taps = []
     for si, cfg in enumerate(cfgs):
         for li in range(cfg.num_layers):
             stride = cfg.stride if li == 0 else 1
             in_ch = cfg.in_ch if li == 0 else cfg.out_ch
             name = f"stage{si}_block{li}"
+            bpath = f"backbone/{name}"
             p, s = params[name], stats[name]
             use_res = stride == 1 and in_ch == cfg.out_ch
             inp = x
             if cfg.fused:
-                x = cba(x, p["expand"], s["expand"], stride=stride)
+                x = cba(x, p["expand"], s["expand"], f"{bpath}/expand",
+                        stride=stride)
                 if cfg.expand_ratio != 1:
-                    x = cba(x, p["project"], s["project"], act=False)
+                    x = cba(x, p["project"], s["project"],
+                            f"{bpath}/project", act=False)
             else:
                 expanded = in_ch * cfg.expand_ratio
-                x = cba(x, p["expand"], s["expand"])
-                x = cba(x, p["depthwise"], s["depthwise"], stride=stride,
+                x = cba(x, p["expand"], s["expand"], f"{bpath}/expand")
+                x = cba(x, p["depthwise"], s["depthwise"],
+                        f"{bpath}/depthwise", stride=stride,
                         groups=expanded)
                 # squeeze-excite
                 sq = e.g.node("ReduceMean",
@@ -138,20 +199,26 @@ def _emit_backbone(e: _Emit, x: str, params, stats, model_size: str,
                 sq = e.silu(sq)
                 sq = e.conv(sq, p["se"]["fc2"], bias=True, pad=0)
                 x = e.g.node("Mul", [x, e.g.node("Sigmoid", [sq])])
-                x = cba(x, p["project"], s["project"], act=False)
+                x = cba(x, p["project"], s["project"], f"{bpath}/project",
+                        act=False)
             if use_res:
                 x = e.add(x, inp)
+                if qdq is not None:
+                    x = qdq.act(e.g, x, bpath)
         if si in tap_stages:
             taps.append(x)
-    x = cba(x, params["head"], stats["head"])
+    x = cba(x, params["head"], stats["head"], "backbone/head")
     taps.append(x)
     return taps
 
 
 def _emit_leafmap(e: _Emit, taps: Sequence[str],
                   tap_hw: Sequence[tuple], params, stats,
-                  bn_eps: float = 1e-5) -> str:
-    """Per-head upsampling cascade (models/detector.py Leafmap)."""
+                  bn_eps: float = 1e-5, qdq=None, head: str = "") -> str:
+    """Per-head upsampling cascade (models/detector.py Leafmap).
+
+    Under ``qdq`` the cascade convs carry per-channel int8 weights
+    (weight-only in the heads; excluded heads stay float entirely)."""
     y = None
     n = len(taps)
     for i, x in enumerate(reversed(taps)):
@@ -159,7 +226,8 @@ def _emit_leafmap(e: _Emit, taps: Sequence[str],
         x = e.bn(x, params[f"in_bn{level}"], stats[f"in_bn{level}"], bn_eps)
         if y is not None:
             x = e.g.node("Concat", [y, x], axis=1)
-        x = e.conv(x, params[f"up{i}_conv"])
+        x = e.conv(x, params[f"up{i}_conv"], qdq=qdq,
+                   path=f"{head}/up{i}_conv")
         x = e.bn(x, params[f"up{i}_bn"], stats[f"up{i}_bn"], bn_eps)
         x = e.gelu(x)
         if i < n - 1:
@@ -169,17 +237,20 @@ def _emit_leafmap(e: _Emit, taps: Sequence[str],
             x = e.g.node("Resize", [x, "", "", sizes], mode="linear",
                          coordinate_transformation_mode="align_corners")
         y = x
-    return e.conv(y, params["top_conv"], bias=True)
+    return e.conv(y, params["top_conv"], bias=True, qdq=qdq,
+                  path=f"{head}/top_conv")
 
 
 def emit_detector(variables: Dict, model_size: str = "xl",
                   height: int = 768, width: int = 768,
-                  feature_dim: int = FEATURE_DIM) -> bytes:
+                  feature_dim: int = FEATURE_DIM, qdq=None) -> bytes:
     """`TextDetector.onnx`: image [1,3,H,W] in [0,1] ->
     (heatmap [1,10,H/4,W/4], feature [1,F,H/4,W/4]).
 
     Includes the 3x3 peak suppression of the reference's export wrapper
-    (`/root/reference/models/detector.py:283-296`).
+    (`/root/reference/models/detector.py:283-296`). ``qdq`` (a
+    :class:`QdqContext`) switches to the static-int8 QDQ form — use
+    :func:`emit_detector_qdq`.
     """
     params, stats = variables["params"], variables["batch_stats"]
     g = OnnxGraph("TextDetector")
@@ -189,16 +260,17 @@ def emit_detector(variables: Dict, model_size: str = "xl",
     x = g.node("Mul", [img, g.init(np.float32(2.0).reshape(()), "two")])
     x = g.node("Sub", [x, g.init(np.float32(1.0).reshape(()), "one")])
     taps = _emit_backbone(e, x, params["backbone"], stats["backbone"],
-                          model_size)
+                          model_size, qdq=qdq)
     tap_hw = [(height // r, width // r) for r in (4, 8, 16, 32)]
 
     maps = [
-        _emit_leafmap(e, taps, tap_hw, params[h], stats[h])
+        _emit_leafmap(e, taps, tap_hw, params[h], stats[h], qdq=qdq,
+                      head=h)
         for h in HEAD_NAMES
     ]
     heat = g.node("Concat", maps, axis=1)
     feature = _emit_leafmap(e, taps, tap_hw, params["feature"],
-                            stats["feature"])
+                            stats["feature"], qdq=qdq, head="feature")
 
     keymap = g.node("Gather",
                     [heat, g.init(np.asarray([0], np.int64), "i0")], axis=1)
@@ -216,6 +288,21 @@ def emit_detector(variables: Dict, model_size: str = "xl",
     g.node("Identity", [feature], out="feature")
     g.add_output("feature", [1, feature_dim, height // 4, width // 4])
     return g.serialize()
+
+
+def emit_detector_qdq(variables: Dict, act_ranges: Dict,
+                      model_size: str = "xl", height: int = 768,
+                      width: int = 768,
+                      feature_dim: int = FEATURE_DIM) -> bytes:
+    """Static-int8 `TextDetector.onnx` (the reference's
+    `quantize1_onnx.py` artifact): per-output-channel QInt8 weights,
+    calibrated QUInt8 activation QDQ pairs across the backbone, with
+    the feature head and key-heatmap head excluded
+    (`/root/reference/quantize1_onnx.py:96-117`). ``act_ranges`` from
+    :func:`..export.quantize.calibrate_detector_edges`.
+    """
+    return emit_detector(variables, model_size, height, width,
+                         feature_dim, qdq=QdqContext(act_ranges))
 
 
 # ---------------------------------------------------------------------------
@@ -388,6 +475,12 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=768)
     ap.add_argument("--width", type=int, default=768)
     ap.add_argument("--outdir", default=".")
+    ap.add_argument("--int8", action="store_true",
+                    help="also write TextDetector.quant.onnx (static QDQ; "
+                         "reference quantize1_onnx.py equivalent)")
+    ap.add_argument("--calib-npy", default=None,
+                    help="calibration images (N,H,W,3) float [0,1]; "
+                         "factory pages are generated when omitted")
     args = ap.parse_args(argv)
 
     import os
@@ -405,6 +498,28 @@ def main(argv=None):
             f.write(emit_detector(det_vars, args.model_size,
                                   args.height, args.width))
         print(p)
+        if args.int8:
+            from ..models.detector import CenterNetDetection
+            from .quantize import calibrate_detector_edges
+            model = CenterNetDetection(model_size=args.model_size)
+            if args.calib_npy:
+                imgs = np.load(args.calib_npy)
+                batches = [imgs[i:i + 1] for i in range(len(imgs))]
+            else:
+                from ..factory import PageGenerator
+                from ..factory.rasterizer import find_fonts
+                gen = PageGenerator(find_fonts(), width=args.width,
+                                    height=args.height, seed=0)
+                batches = [np.stack([gen.generate()["image"]] * 3,
+                                    -1)[None].astype(np.float32) / 255.0
+                           for _ in range(8)]
+            ranges = calibrate_detector_edges(model, det_vars, batches)
+            p = os.path.join(args.outdir, "TextDetector.quant.onnx")
+            with open(p, "wb") as f:
+                f.write(emit_detector_qdq(det_vars, ranges,
+                                          args.model_size, args.height,
+                                          args.width))
+            print(p)
         if "decoder" in full["params"]:
             dec_vars = {"params": full["params"]["decoder"],
                         "batch_stats": full["batch_stats"]["decoder"]}

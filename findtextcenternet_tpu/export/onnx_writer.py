@@ -601,3 +601,28 @@ class OnnxEvaluator:
         for a in sorted(int(a) for a in np.asarray(axes).ravel()):
             x = np.expand_dims(x, a)
         return x
+
+    @staticmethod
+    def _qdq_shape(x, scale, axis):
+        if np.ndim(scale) == 0 or np.size(scale) == 1:
+            return np.reshape(scale, ())
+        shape = [1] * x.ndim
+        shape[axis] = -1
+        return np.reshape(scale, shape)
+
+    @classmethod
+    def op_quantizelinear(cls, x, scale, zp=None, *, axis=1, **kw):
+        s = cls._qdq_shape(x, scale, axis)
+        z = 0 if zp is None else cls._qdq_shape(x, zp, axis).astype(
+            np.int32)
+        dt = np.uint8 if zp is None or np.asarray(zp).dtype == np.uint8 \
+            else np.int8
+        lo, hi = (0, 255) if dt == np.uint8 else (-128, 127)
+        return np.clip(np.round(x / s) + z, lo, hi).astype(dt)
+
+    @classmethod
+    def op_dequantizelinear(cls, x, scale, zp=None, *, axis=1, **kw):
+        s = cls._qdq_shape(x, scale, axis)
+        z = 0 if zp is None else cls._qdq_shape(x, zp, axis).astype(
+            np.int32)
+        return ((x.astype(np.int32) - z) * s).astype(np.float32)

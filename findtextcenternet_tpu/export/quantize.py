@@ -147,6 +147,64 @@ def calibrate_detector(detector, variables, batches) -> "ActivationCalibrator":
     return cal
 
 
+def calibrate_detector_edges(detector, variables, batches,
+                             momentum: float = 0.95
+                             ) -> Dict[str, Tuple[float, float]]:
+    """Per-edge activation ranges for static QDQ quantization.
+
+    Captures every flax module output and reduces it to (min, max)
+    INSIDE the jitted call, so only scalars leave the device and XLA
+    frees each intermediate right after its reduction (full-tree capture
+    would hold the whole activation set live). Keys are '/'-joined
+    module paths (e.g. ``backbone/stage0_block0/expand``) — the same
+    paths :func:`..export.onnx_models.emit_detector_qdq` threads through
+    emission. Mirrors the reference's moving-average calibration over
+    real samples (`/root/reference/quantize1_onnx.py:49-63`).
+    """
+    import jax
+
+    @jax.jit
+    def run(v, images):
+        (heat, feats), st = detector.apply(
+            v, images, capture_intermediates=True,
+            mutable=["intermediates"])
+        flat = {}
+
+        def walk(t, path):
+            if isinstance(t, dict):
+                for k, v2 in t.items():
+                    walk(v2, path if k == "__call__" else path + (k,))
+            elif isinstance(t, (tuple, list)):
+                if len(t) == 1:
+                    walk(t[0], path)
+                else:
+                    for i, v2 in enumerate(t):
+                        walk(v2, path + (str(i),))
+            else:
+                flat["/".join(path)] = (jnp.min(t).astype(jnp.float32),
+                                        jnp.max(t).astype(jnp.float32))
+
+        walk(st["intermediates"], ())
+        flat["__output_heatmap__"] = (jnp.min(heat).astype(jnp.float32),
+                                      jnp.max(heat).astype(jnp.float32))
+        flat["__output_features__"] = (jnp.min(feats).astype(jnp.float32),
+                                       jnp.max(feats).astype(jnp.float32))
+        return flat
+
+    ranges: Dict[str, Tuple[float, float]] = {}
+    for images in batches:
+        flat = run(variables, jnp.asarray(images))
+        for k, (lo, hi) in flat.items():
+            lo, hi = float(lo), float(hi)
+            if k in ranges:
+                plo, phi = ranges[k]
+                ranges[k] = (momentum * plo + (1 - momentum) * lo,
+                             momentum * phi + (1 - momentum) * hi)
+            else:
+                ranges[k] = (lo, hi)
+    return ranges
+
+
 def build_int8_detector(detector, variables,
                         calibrator: "ActivationCalibrator",
                         exclude: Iterable[str] = DEFAULT_EXCLUDE):

@@ -86,6 +86,60 @@ def test_code_decoder_onnx_matches_flax(rng):
             rtol=1e-4, atol=1e-5)
 
 
+def test_detector_qdq_onnx(rng):
+    """Static-int8 QDQ artifact: calibrated edges quantize, excluded
+    heads stay float, outputs stay close to the float graph."""
+    from findtextcenternet_tpu.export.onnx_models import (
+        QdqContext, emit_detector_qdq,
+    )
+    from findtextcenternet_tpu.export.quantize import (
+        calibrate_detector_edges,
+    )
+
+    model = CenterNetDetection(model_size="tiny", feature_dim=8)
+    img = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+
+    batches = [np.asarray(rng.random((1, 64, 64, 3)), np.float32)
+               for _ in range(2)]
+    ranges = calibrate_detector_edges(model, variables, batches)
+    assert "backbone/stem" in ranges
+    assert "backbone/stage0_block0/expand" in ranges
+
+    np_vars = jax.tree.map(np.asarray, variables)
+    qblob = emit_detector_qdq(np_vars, ranges, "tiny",
+                              height=64, width=64, feature_dim=8)
+    m = parse_model(qblob)
+    ops = [n["op"] for n in m["nodes"]]
+    assert ops.count("QuantizeLinear") >= 8          # backbone edges
+    wdq = [n for n in m["nodes"]
+           if n["op"] == "DequantizeLinear" and n["attrs"].get("axis") == 0]
+    assert len(wdq) >= 8                             # per-channel weights
+    # int8 weight initializers exist and shrink the payload
+    assert any(m["inits"][n["inputs"][0]].dtype == np.int8 for n in wdq)
+
+    fblob = emit_detector(np_vars, "tiny", height=64, width=64,
+                          feature_dim=8)
+    feeds = {"image": np.transpose(np.asarray(img), (0, 3, 1, 2))}
+    ref = OnnxEvaluator(fblob)(**feeds)
+    got = OnnxEvaluator(qblob)(**feeds)
+    for k in ("heatmap", "feature"):
+        a, b = got[k], ref[k]
+        a, b = np.nan_to_num(a, neginf=0), np.nan_to_num(b, neginf=0)
+        rms = float(np.sqrt(np.mean(b ** 2))) or 1.0
+        assert float(np.sqrt(np.mean((a - b) ** 2))) / rms < 0.25
+
+    # excluding everything degenerates to the float graph, bit-identical
+    allx = emit_detector(np_vars, "tiny", height=64, width=64,
+                         feature_dim=8,
+                         qdq=QdqContext(ranges, exclude=[r".*"]))
+    out2 = OnnxEvaluator(allx)(**feeds)
+    for k in ("heatmap", "feature"):
+        np.testing.assert_array_equal(
+            np.nan_to_num(out2[k], neginf=0),
+            np.nan_to_num(ref[k], neginf=0))
+
+
 @pytest.fixture(scope="module")
 def tf_model_and_vars():
     model = Transformer(TINY)
