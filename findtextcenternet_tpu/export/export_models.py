@@ -11,7 +11,12 @@ Usage:
     python -m findtextcenternet_tpu.export.export_models \
         --out=exported [--model-size=xl] \
         [--model-pt=model.pt --model3-pt=model3.pt] \
-        [--detector-ckpt=result1] [--int8]
+        [--detector-ckpt=result1] [--int8] [--bf16]
+
+``--bf16`` casts float params to bfloat16 before export (norm params
+stay f32) — the TPU-native analog of the reference's fp16 graph
+conversion (convert_fp16_onnx.py). ``--int8`` int8-roundtrips the
+transformer weights (per-channel symmetric).
 """
 from __future__ import annotations
 
@@ -28,6 +33,7 @@ def main(argv=None):
     model_pt = model3_pt = None
     det_ckpt = None
     int8 = False
+    bf16 = False
     for a in argv:
         if a.startswith("--out="):
             out = a.split("=", 1)[1]
@@ -41,6 +47,8 @@ def main(argv=None):
             det_ckpt = a.split("=", 1)[1]
         elif a == "--int8":
             int8 = True
+        elif a == "--bf16":
+            bf16 = True
 
     import dataclasses
 
@@ -109,6 +117,13 @@ def main(argv=None):
         tf_vars = {"params": dequantize_params(q, scales, jnp.float32)}
         print("transformer weights int8-roundtripped "
               f"({len(scales)} tensors)")
+    if bf16:
+        from .quantize import cast_params
+        det_vars = dict(det_vars,
+                        params=cast_params(det_vars["params"]))
+        tf_vars = dict(tf_vars, params=cast_params(tf_vars["params"]))
+        sd_vars = dict(sd_vars, params=cast_params(sd_vars["params"]))
+        print("params cast to bf16 (norms kept f32)")
 
     os.makedirs(out, exist_ok=True)
     p1 = export_detector(os.path.join(out, "detector"), det, det_vars)

@@ -21,6 +21,45 @@ from ..utils.text import decode_ruby
 from .pipeline import OCRPipeline, ocr_file
 
 
+def build_pipeline(model_size: str = "xl", model_pt: str = "model.pt",
+                   model3_pt: str = "model3.pt",
+                   random_weights: bool = False):
+    """Construct an OCRPipeline the way the CLIs do: import reference
+    checkpoints when present, else random weights; ``tiny`` swaps in the
+    fast smoke config. Shared by run_ocr and tools/visualize."""
+    cfg = Config()
+    if model_size != cfg.detector.model_size:
+        cfg = dataclasses.replace(
+            cfg, detector=dataclasses.replace(
+                cfg.detector, model_size=model_size))
+    if model_size == "tiny":
+        # true smoke config: small transformer + small tiles so the CPU
+        # compile finishes in seconds
+        cfg = dataclasses.replace(
+            cfg,
+            detector=dataclasses.replace(cfg.detector, feature_dim=8,
+                                         decoder_mid_dim=32),
+            transformer=dataclasses.replace(
+                cfg.transformer, enc_input_dim=8 + 6, embed_dim=32,
+                head_num=4, enc_block_num=1, dec_block_num=1,
+                max_enc_seq_len=32, max_dec_seq_len=32),
+            inference=dataclasses.replace(
+                cfg.inference, tile_size=256, detector_batch=1,
+                max_peaks_per_tile=64),
+            mask_predict=dataclasses.replace(cfg.mask_predict,
+                                             max_rounds=2))
+
+    if not random_weights and os.path.exists(model_pt) and \
+            os.path.exists(model3_pt):
+        pipeline = OCRPipeline.from_torch_checkpoints(
+            model_pt, model3_pt, cfg, model_size)
+        print(f"loaded weights: {model_pt}, {model3_pt}")
+    else:
+        pipeline = OCRPipeline(cfg, model_size=model_size)
+        print("using random weights (smoke mode)")
+    return pipeline
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     resize = 1.0
@@ -52,36 +91,8 @@ def main(argv=None):
         print(__doc__)
         return 1
 
-    cfg = Config()
-    if model_size != cfg.detector.model_size:
-        cfg = dataclasses.replace(
-            cfg, detector=dataclasses.replace(
-                cfg.detector, model_size=model_size))
-    if model_size == "tiny":
-        # true smoke config: small transformer + small tiles so the CPU
-        # compile finishes in seconds
-        cfg = dataclasses.replace(
-            cfg,
-            detector=dataclasses.replace(cfg.detector, feature_dim=8,
-                                         decoder_mid_dim=32),
-            transformer=dataclasses.replace(
-                cfg.transformer, enc_input_dim=8 + 6, embed_dim=32,
-                head_num=4, enc_block_num=1, dec_block_num=1,
-                max_enc_seq_len=32, max_dec_seq_len=32),
-            inference=dataclasses.replace(
-                cfg.inference, tile_size=256, detector_batch=1,
-                max_peaks_per_tile=64),
-            mask_predict=dataclasses.replace(cfg.mask_predict,
-                                             max_rounds=2))
-
-    if not random_weights and os.path.exists(model_pt) and \
-            os.path.exists(model3_pt):
-        pipeline = OCRPipeline.from_torch_checkpoints(
-            model_pt, model3_pt, cfg, model_size)
-        print(f"loaded weights: {model_pt}, {model3_pt}")
-    else:
-        pipeline = OCRPipeline(cfg, model_size=model_size)
-        print("using random weights (smoke mode)")
+    pipeline = build_pipeline(model_size, model_pt, model3_pt,
+                              random_weights)
 
     for f in files:
         print(f"== {f}")

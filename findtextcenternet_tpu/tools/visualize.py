@@ -3,6 +3,16 @@
 Equivalents of the reference's ``test_image1_*`` / ``test_image3_*`` /
 ``plot_json.py`` (matplotlib overlays instead of interactive windows —
 suited to headless TPU hosts; outputs PNG files).
+
+CLI:
+    python -m findtextcenternet_tpu.tools.visualize \\
+        [--mode=detect|ocr|json] [--model-size=xl] [--model-pt=path] \\
+        [--model3-pt=path] [--random-weights] [--tiny] \\
+        [--json=result.json] images...
+
+``detect`` = test_image1 (boxes + maps overlays), ``ocr`` = test_image3
+(full pipeline + OCR-JSON overlay), ``json`` = plot_json (replot an
+existing OCR JSON over the page, no model needed).
 """
 from __future__ import annotations
 
@@ -117,3 +127,62 @@ def test_image3(pipeline, image_path: str,
     with open(image_path + ".ocr.json", "w", encoding="utf-8") as f:
         json.dump(result, f, ensure_ascii=False, indent=1)
     return out_path
+
+
+def main(argv=None):
+    import glob
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    mode = "ocr"
+    model_size = "xl"
+    model_pt, model3_pt = "model.pt", "model3.pt"
+    random_weights = False
+    json_path = None
+    files = []
+    for a in argv:
+        if a.startswith("--mode="):
+            mode = a.split("=", 1)[1]
+        elif a.startswith("--model-size="):
+            model_size = a.split("=", 1)[1]
+        elif a.startswith("--model-pt="):
+            model_pt = a.split("=", 1)[1]
+        elif a.startswith("--model3-pt="):
+            model3_pt = a.split("=", 1)[1]
+        elif a == "--random-weights":
+            random_weights = True
+        elif a == "--tiny":
+            model_size = "tiny"
+            random_weights = True
+        elif a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+        else:
+            files.extend(glob.glob(a))
+
+    if not files or mode not in ("detect", "ocr", "json"):
+        print(__doc__)
+        return 1
+
+    if mode == "json":
+        from PIL import Image
+
+        for f in files:
+            jp = json_path or f + ".ocr.json"
+            with open(jp, encoding="utf-8") as fh:
+                result = json.load(fh)
+            img = np.asarray(Image.open(f).convert("RGB"))
+            print(plot_ocr_json(img, result, f + ".ocr.png"))
+        return 0
+
+    from ..infer.run_ocr import build_pipeline
+
+    pipeline = build_pipeline(model_size, model_pt, model3_pt,
+                              random_weights)
+    run = test_image1 if mode == "detect" else test_image3
+    for f in files:
+        print(run(pipeline, f))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
