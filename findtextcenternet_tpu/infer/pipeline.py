@@ -228,6 +228,13 @@ class OCRPipeline:
                                   max_peaks=ic.max_peaks_per_tile,
                                   threshold=ic.peak_cutoff,
                                   region_mask=region_masks)
+            # glyph features ship to the host as f16 — the dominant
+            # readback (batch x 1024 peaks x 100 dims); the reference's
+            # own transformer data path stores features as float16
+            # (/root/reference/dataset/data_transformer.py:398-414), so
+            # the precision is parity-safe by construction
+            peaks = dict(peaks,
+                         feature=peaks["feature"].astype(jnp.float16))
             # page maps ship to the host as uint8 (4x less transfer over
             # the device link; 1/255 resolution is far below every
             # downstream threshold)
@@ -470,7 +477,7 @@ class OCRPipeline:
                                 np.zeros((0, FEATURE_DIM), np.float32),
                                 lines_all, seps_all)
         loc = np.stack(locations)
-        feats = np.stack(glyphfeats)
+        feats = np.stack(glyphfeats).astype(np.float32)
         loc, feats = self._filter_boxes(loc, feats, img, lines_all, seps_all,
                                         codes_all)
         return DetectedPage(loc, feats, lines_all, seps_all)

@@ -397,7 +397,9 @@ def test_pipeline_differential(rig, page_fn, tmp_path, monkeypatch):
                                ref_loc[:, 3:5], rtol=1e-5)   # sizes
     np.testing.assert_allclose(my_page.locations[:, 5:],
                                ref_loc[:, 5:], atol=1e-3)    # codes
-    np.testing.assert_allclose(my_page.features, ref_feats, atol=1e-5)
+    # features: mine round-trip the f16 device readback (the reference
+    # stores features as float16 in its own data path), oracle keeps f32
+    np.testing.assert_allclose(my_page.features, ref_feats, atol=3e-3)
     # merged maps: mine round-trips uint8, oracle keeps float sigmoid
     np.testing.assert_allclose(my_page.lines, ref_lines, atol=2.5e-3)
     np.testing.assert_allclose(my_page.seps, ref_seps, atol=2.5e-3)
