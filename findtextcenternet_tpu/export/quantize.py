@@ -206,22 +206,29 @@ def calibrate_detector_edges(detector, variables, batches,
 
 
 def build_int8_detector(detector, variables,
-                        calibrator: "ActivationCalibrator",
+                        calibrator: "ActivationCalibrator" = None,
                         exclude: Iterable[str] = DEFAULT_EXCLUDE):
-    """Static int8 detector: per-channel int8 weights (with the
-    reference's feature/keymap head exclusions) + calibrated int8
-    activation QDQ at the artifact boundaries.
+    """Int8-weight detector: per-channel int8 weights with the
+    reference's feature/keymap head exclusions, dequantized on use.
 
     Returns ``(fn, qvars)`` where ``fn(qvars, images_uint8)`` is
     jittable/exportable (``export.save_exported``) — the StableHLO
     artifact then carries int8 weight tensors with embedded dequant,
-    halving weight storage and HBM weight reads on load.
+    halving weight storage and HBM weight reads on load. ``qvars`` is
+    placed on device so repeated live calls don't re-upload the tree.
+
+    The model *outputs* stay float: the reference's exclusion walk
+    (`quantize1_onnx.py:96-117`) removes QDQ from every node on the
+    feature path and the heatmap tail, so quantizing them here would
+    diverge from the artifact being mirrored. Full static activation
+    QDQ (internal edges, calibrated) is the ONNX exporter's job
+    (``onnx_models --int8``); ``calibrator`` is accepted for API
+    symmetry with that path and unused here.
     """
     import jax
 
+    del calibrator
     qparams, scales = quantize_params(variables["params"], exclude)
-    act_heat = calibrator.scale("heatmap")
-    act_feat = calibrator.scale("features")
 
     def dequant(tree, prefix=""):
         if isinstance(tree, dict):
@@ -240,13 +247,11 @@ def build_int8_detector(detector, variables,
         x = images.astype(jnp.float32)
         if images.dtype == jnp.uint8:
             x = x / 255.0
-        heat, feats = detector.apply(
+        return detector.apply(
             {"params": params, "batch_stats": qvars["batch_stats"]}, x)
-        heat = fake_quant(heat.astype(jnp.float32), act_heat)
-        feats = fake_quant(feats.astype(jnp.float32), act_feat)
-        return heat, feats
 
-    qvars = {"params": qparams, "batch_stats": batch_stats}
+    qvars = jax.device_put({"params": qparams,
+                            "batch_stats": batch_stats})
     return fn, qvars
 
 

@@ -194,7 +194,11 @@ class OCRPipeline:
             dec_block_num=config.transformer.dec_block_num,
             max_enc_seq_len=config.transformer.max_enc_seq_len,
             max_dec_seq_len=config.transformer.max_dec_seq_len)
-        self.transformer = Transformer(dims)
+        # decode matmul dtype is a config knob (params stay f32 either
+        # way; norms + residue logits always f32) — see
+        # InferenceConfig.decode_dtype
+        self.transformer = Transformer(
+            dims, dtype=jnp.dtype(config.inference.decode_dtype))
 
         key = jax.random.PRNGKey(seed)
         tile = config.inference.tile_size

@@ -16,7 +16,7 @@ Capability-equivalent to the reference transformer
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import numpy as np
 import jax
@@ -76,14 +76,16 @@ class PositionalEncoding(nn.Module):
 class SwiGLU(nn.Module):
     dim: int
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x1 = nn.Dense(self.dim * 2, name="w1")(x)
-        xg = nn.silu(nn.Dense(self.dim * 2, name="wg")(x))
+        x1 = nn.Dense(self.dim * 2, name="w1", dtype=self.dtype)(x)
+        xg = nn.silu(nn.Dense(self.dim * 2, name="wg",
+                              dtype=self.dtype)(x))
         x = x1 * xg
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.dim, name="w2")(x)
+        return nn.Dense(self.dim, name="w2", dtype=self.dtype)(x)
 
 
 class MultiheadAttn(nn.Module):
@@ -97,6 +99,7 @@ class MultiheadAttn(nn.Module):
     dropout: float = 0.1
     max_seq_len: int = 5000
     key_max_seq_len: Optional[int] = None   # cross-attn key table length
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, query, key=None, value=None, key_mask=None,
@@ -119,9 +122,12 @@ class MultiheadAttn(nn.Module):
         d = self.embed_dim
         h = self.num_heads
         hd = d // h
-        q = nn.Dense(d, use_bias=False, name="q_proj")(query)
-        k = nn.Dense(d, use_bias=False, name="k_proj")(key)
-        v = nn.Dense(d, use_bias=False, name="v_proj")(value)
+        q = nn.Dense(d, use_bias=False, name="q_proj",
+                     dtype=self.dtype)(query)
+        k = nn.Dense(d, use_bias=False, name="k_proj",
+                     dtype=self.dtype)(key)
+        v = nn.Dense(d, use_bias=False, name="v_proj",
+                     dtype=self.dtype)(value)
 
         b, tq, _ = q.shape
         tk = k.shape[1]
@@ -140,7 +146,8 @@ class MultiheadAttn(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                          preferred_element_type=jnp.float32).astype(v.dtype)
         out = out.reshape(b, tq, d)
-        return nn.Dense(d, use_bias=False, name="out_proj")(out)
+        return nn.Dense(d, use_bias=False, name="out_proj",
+                        dtype=self.dtype)(out)
 
 
 class EncoderBlock(nn.Module):
@@ -148,20 +155,25 @@ class EncoderBlock(nn.Module):
     num_heads: int
     dropout: float = 0.1
     max_seq_len: int = 5000
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, key_mask=None, train: bool = False):
+        # norms always compute in f32 (cheap VPU work); only the matmuls
+        # follow self.dtype, so bf16 inference keeps f32-stable statistics
         skip = x
         x = MultiheadAttn(self.embed_dim, self.num_heads, self.dropout,
-                          self.max_seq_len, name="mha")(
+                          self.max_seq_len, dtype=self.dtype, name="mha")(
             x, key_mask=key_mask, train=train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.LayerNorm(name="norm1")(x + skip)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x + skip)
         ffn_in = x
-        x = SwiGLU(self.embed_dim, self.dropout, name="ff")(x, train)
+        x = SwiGLU(self.embed_dim, self.dropout, dtype=self.dtype,
+                   name="ff")(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         # B2T residual: add both the ffn input and the block input
-        return nn.LayerNorm(name="norm2")(x + ffn_in + skip)
+        return nn.LayerNorm(dtype=jnp.float32, name="norm2")(
+            x + ffn_in + skip)
 
 
 class DecoderBlock(nn.Module):
@@ -170,49 +182,57 @@ class DecoderBlock(nn.Module):
     dropout: float = 0.1
     max_seq_len: int = 5000
     enc_max_seq_len: Optional[int] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, enc, key_mask=None, train: bool = False):
         skip = x
         x = MultiheadAttn(self.embed_dim, self.num_heads, self.dropout,
-                          self.max_seq_len, name="self_attn")(
+                          self.max_seq_len, dtype=self.dtype,
+                          name="self_attn")(
             x, train=train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.LayerNorm(name="norm1")(x + skip)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x + skip)
         cross_in = x
         x = MultiheadAttn(self.embed_dim, self.num_heads, self.dropout,
                           self.max_seq_len,
                           key_max_seq_len=self.enc_max_seq_len,
-                          name="cross_attn")(
+                          dtype=self.dtype, name="cross_attn")(
             x, key=enc, key_mask=key_mask, train=train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.LayerNorm(name="norm2")(x + cross_in)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x + cross_in)
         ffn_in = x
-        x = SwiGLU(self.embed_dim, self.dropout, name="ff")(x, train)
+        x = SwiGLU(self.embed_dim, self.dropout, dtype=self.dtype,
+                   name="ff")(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.LayerNorm(name="norm3")(x + ffn_in + skip)
+        return nn.LayerNorm(dtype=jnp.float32, name="norm3")(
+            x + ffn_in + skip)
 
 
 class Encoder(nn.Module):
     dims: TransformerDims
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, key_mask=None, train: bool = False):
         d = self.dims
-        x = nn.Dense(d.embed_dim, use_bias=False, name="embed")(x)
+        x = nn.Dense(d.embed_dim, use_bias=False, name="embed",
+                     dtype=self.dtype)(x)
         x = PositionalEncoding(d.max_enc_seq_len, d.embed_dim,
                                name="pos_emb")(x)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
         x = nn.Dropout(d.dropout, deterministic=not train)(x)
         for i in range(d.enc_block_num):
             x = EncoderBlock(d.embed_dim, d.head_num, d.dropout,
-                             d.max_enc_seq_len, name=f"block{i}")(
+                             d.max_enc_seq_len, dtype=self.dtype,
+                             name=f"block{i}")(
                 x, key_mask=key_mask, train=train)
         return x
 
 
 class Decoder(nn.Module):
     dims: TransformerDims
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, tokens, enc, key_mask=None, train: bool = False):
@@ -224,15 +244,19 @@ class Decoder(nn.Module):
             x = e if x is None else x + e
         x = PositionalEncoding(d.max_dec_seq_len, d.embed_dim,
                                name="pos_emb")(x)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
         x = nn.Dropout(d.dropout, deterministic=not train)(x)
         for i in range(d.dec_block_num):
             x = DecoderBlock(d.embed_dim, d.head_num, d.dropout,
                              d.max_dec_seq_len,
                              enc_max_seq_len=d.max_enc_seq_len,
-                             name=f"block{i}")(
+                             dtype=self.dtype, name=f"block{i}")(
                 x, enc, key_mask=key_mask, train=train)
-        return [nn.Dense(m, name=f"out{i}")(x)
+        # residue logits always leave as f32: the CRT product-space
+        # search compares probability products, where bf16 resolution
+        # would coarsen near-tie decisions for no speed gain (tiny head)
+        return [nn.Dense(m, name=f"out{i}", dtype=self.dtype)(x)
+                .astype(jnp.float32)
                 for i, m in enumerate(MODULO_LIST)]
 
 
@@ -243,11 +267,16 @@ def make_key_mask(enc_input: jnp.ndarray) -> jnp.ndarray:
 
 
 class Transformer(nn.Module):
+    """``dtype`` is the matmul compute dtype (params stay f32): f32
+    matches the reference torch backend exactly; bf16 is the TPU analog
+    of its fp16 ONNX/CoreML deployments (norms and residue logits stay
+    f32 either way). Wired to ``InferenceConfig.decode_dtype``."""
     dims: TransformerDims = TransformerDims()
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.encoder = Encoder(self.dims)
-        self.decoder = Decoder(self.dims)
+        self.encoder = Encoder(self.dims, dtype=self.dtype)
+        self.decoder = Decoder(self.dims, dtype=self.dtype)
 
     def __call__(self, enc_input, dec_input, train: bool = False):
         key_mask = make_key_mask(enc_input)

@@ -36,6 +36,24 @@ def test_forward_shapes(tiny_model):
     assert [o.shape for o in outs] == [(3, 8, m) for m in MODULO_LIST]
 
 
+def test_bf16_compute_mode(tiny_model):
+    """dtype=bf16 (InferenceConfig.decode_dtype) shares the f32 param
+    tree and stays within bf16 noise of the f32 forward; residue logits
+    always leave as f32."""
+    _, params = tiny_model
+    rng = np.random.default_rng(0)
+    enc_in = jnp.asarray(rng.standard_normal((2, 10, 12)), jnp.float32)
+    dec_in = jnp.asarray(rng.integers(0, 900, (2, 8)), jnp.int32)
+    m16 = Transformer(TINY, dtype=jnp.bfloat16)
+    m32 = Transformer(TINY)
+    o16 = m16.apply(params, enc_in, dec_in)
+    o32 = m32.apply(params, enc_in, dec_in)
+    for a, b in zip(o32, o16):
+        assert b.dtype == jnp.float32
+        scale = float(jnp.max(jnp.abs(a))) or 1.0
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 0.05
+
+
 def test_key_mask():
     enc = np.ones((2, 5, 4), dtype=np.float32)
     enc[0, 3:] = 0.0
