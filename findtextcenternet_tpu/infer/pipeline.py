@@ -562,43 +562,47 @@ class OCRPipeline:
 
         order = np.argsort(-loc[:, 0])
         # candidates: score-descending, above cutoff, contrast-passing
-        cand = [i for i in order
-                if loc[i, 0] >= ic.peak_cutoff and contrast[i] >= th_hist]
+        ok = (loc[:, 0] >= ic.peak_cutoff) & (contrast >= th_hist)
+        cand = order[ok[order]]
         if hostops.available():
             mask = hostops.greedy_dedup(
-                np.asarray([loc[i, 1:5] for i in cand], np.float32),
+                np.ascontiguousarray(loc[cand, 1:5], np.float32),
                 ic.iou_threshold, ic.overlap_threshold,
                 ic.fill_ratio_threshold)
-            keep = [i for i, m in zip(cand, mask) if m]
+            keep = cand[np.asarray(mask, bool)]
         else:
-            keep = self._greedy_dedup_numpy(loc, cand)
+            keep = np.asarray(self._greedy_dedup_numpy(loc, cand),
+                              np.int64).reshape(-1)
 
-        # separator rejection
-        keep2 = []
-        for i in keep:
-            x = int(loc[i, 1] / SCALE)
-            y = int(loc[i, 2] / SCALE)
-            if 0 <= x < seps_all.shape[1] and 0 <= y < seps_all.shape[0]:
-                if seps_all[y, x] > 0.5:
-                    continue
-            keep2.append(i)
-        if not keep2:
+        # separator rejection (int() and astype both truncate toward 0)
+        xs = (loc[keep, 1] / SCALE).astype(int)
+        ys = (loc[keep, 2] / SCALE).astype(int)
+        inb = ((xs >= 0) & (xs < seps_all.shape[1]) &
+               (ys >= 0) & (ys < seps_all.shape[0]))
+        hit = np.zeros(len(keep), bool)
+        hit[inb] = seps_all[ys[inb], xs[inb]] > 0.5
+        keep2 = keep[~hit]
+        if not len(keep2):
             return (np.zeros((0, 9), np.float32),
                     np.zeros((0, FEATURE_DIM), np.float32))
         keep2 = np.asarray(keep2)
         loc, feats = loc[keep2], feats[keep2]
 
-        # code probability 3x3 max-pool at each box center
+        # code probability 3x3 max-pool at each box center (clipped
+        # neighbor gather == edge-clipped window max)
         mh, mw = codes_all.shape[:2]
-        for i in range(len(loc)):
-            x = int(loc[i, 1] / SCALE)
-            y = int(loc[i, 2] / SCALE)
-            if 0 <= x < mw and 0 <= y < mh:
-                x0, x1 = max(0, x - 1), min(mw, x + 2)
-                y0, y1 = max(0, y - 1), min(mh, y + 2)
-                for k in range(4):
-                    loc[i, 5 + k] = max(codes_all[y0:y1, x0:x1, k].max(),
-                                        loc[i, 5 + k])
+        xs = (loc[:, 1] / SCALE).astype(int)
+        ys = (loc[:, 2] / SCALE).astype(int)
+        inb = (xs >= 0) & (xs < mw) & (ys >= 0) & (ys < mh)
+        if inb.any():
+            yc, xc = ys[inb], xs[inb]
+            m = loc[inb, 5:9]
+            for dy in (-1, 0, 1):
+                yy = np.clip(yc + dy, 0, mh - 1)
+                for dx in (-1, 0, 1):
+                    m = np.maximum(
+                        m, codes_all[yy, np.clip(xc + dx, 0, mw - 1)])
+            loc[inb, 5:9] = m
         return loc, feats
 
     # ------------------------------------------------------------------

@@ -92,28 +92,77 @@ void hostops_hist_contrast(const uint8_t* img, int h, int w, int c,
 // A candidate is dropped when, against all previously kept boxes:
 //   max IoU > iou_th, or max intersection > own area * overlap_th, or
 //   the union of overlaps covers > fill_th of its own box.
+// Implementation note: only kept boxes whose rectangles INTERSECT the
+// candidate can affect the outcome (iou > iou_th and inter > a0 *
+// overlap_th both require inter > 0, and non-intersecting boxes add
+// nothing to `overlaps`), so kept boxes are indexed in a uniform spatial
+// grid (cell ~ 2x mean box size) and each candidate only scans the
+// kept boxes registered in the cells its own rectangle spans. Exactly
+// the same keep/drop decisions as the O(N*K) scan, near-linear time.
 void hostops_greedy_dedup(const float* boxes, int n, float iou_th,
                           float overlap_th, float fill_th, uint8_t* keep) {
-    std::vector<int> kept;
+    if (n <= 0) return;
+    std::vector<double> rx0(n), ry0(n), rx1(n), ry1(n);
+    double minx = boxes[0], miny = boxes[1];
+    double maxx = boxes[0], maxy = boxes[1];
+    double mean_sz = 0;
+    for (int i = 0; i < n; ++i) {
+        double cx = boxes[4 * i], cy = boxes[4 * i + 1];
+        double w = boxes[4 * i + 2], h = boxes[4 * i + 3];
+        rx0[i] = cx - w / 2;
+        ry0[i] = cy - h / 2;
+        rx1[i] = cx + w / 2;
+        ry1[i] = cy + h / 2;
+        minx = std::min(minx, rx0[i]);
+        miny = std::min(miny, ry0[i]);
+        maxx = std::max(maxx, rx1[i]);
+        maxy = std::max(maxy, ry1[i]);
+        mean_sz += (double)w + h;
+    }
+    double cell = std::max(8.0, mean_sz / n);  // = 2x mean half-perimeter/2
+    // cap the grid at ~4M cells for degenerate inputs
+    while ((double)(maxx - minx) * (maxy - miny) / (cell * cell) > 4e6)
+        cell *= 2;
+    int gw = std::max(1, (int)((maxx - minx) / cell) + 1);
+    int gh = std::max(1, (int)((maxy - miny) / cell) + 1);
+    std::vector<std::vector<int>> grid((size_t)gw * gh);
+    std::vector<int> stamp(n, -1);
+    std::vector<int> cand;
+    auto cell_span = [&](int i, int& cx0, int& cy0, int& cx1, int& cy1) {
+        cx0 = std::min(gw - 1, std::max(0, (int)((rx0[i] - minx) / cell)));
+        cy0 = std::min(gh - 1, std::max(0, (int)((ry0[i] - miny) / cell)));
+        cx1 = std::min(gw - 1, std::max(0, (int)((rx1[i] - minx) / cell)));
+        cy1 = std::min(gh - 1, std::max(0, (int)((ry1[i] - miny) / cell)));
+    };
     std::vector<uint8_t> fill;
     for (int i = 0; i < n; ++i) {
-        float cx = boxes[4 * i], cy = boxes[4 * i + 1];
-        float w = boxes[4 * i + 2], h = boxes[4 * i + 3];
-        float a0 = w * h;
+        double cx = boxes[4 * i], cy = boxes[4 * i + 1];
+        double w = boxes[4 * i + 2], h = boxes[4 * i + 3];
+        double a0 = w * h;
         bool drop = false;
         std::vector<int> overlaps;
-        for (int j : kept) {
-            float ox = boxes[4 * j], oy = boxes[4 * j + 1];
-            float ow = boxes[4 * j + 2], oh = boxes[4 * j + 3];
-            float ix0 = std::max(cx - w / 2, ox - ow / 2);
-            float iy0 = std::max(cy - h / 2, oy - oh / 2);
-            float ix1 = std::min(cx + w / 2, ox + ow / 2);
-            float iy1 = std::min(cy + h / 2, oy + oh / 2);
-            float iw = std::max(ix1 - ix0, 0.f);
-            float ih = std::max(iy1 - iy0, 0.f);
-            float inter = iw * ih;
-            float uni = a0 + ow * oh - inter;
-            float iou = uni > 0 ? inter / uni : 0;
+        int cx0, cy0, cx1, cy1;
+        cell_span(i, cx0, cy0, cx1, cy1);
+        cand.clear();
+        for (int gy = cy0; gy <= cy1; ++gy)
+            for (int gx = cx0; gx <= cx1; ++gx)
+                for (int j : grid[(size_t)gy * gw + gx])
+                    if (stamp[j] != i) {
+                        stamp[j] = i;
+                        cand.push_back(j);
+                    }
+        for (int j : cand) {
+            double ox = boxes[4 * j], oy = boxes[4 * j + 1];
+            double ow = boxes[4 * j + 2], oh = boxes[4 * j + 3];
+            double ix0 = std::max(cx - w / 2, ox - ow / 2);
+            double iy0 = std::max(cy - h / 2, oy - oh / 2);
+            double ix1 = std::min(cx + w / 2, ox + ow / 2);
+            double iy1 = std::min(cy + h / 2, oy + oh / 2);
+            double iw = std::max(ix1 - ix0, 0.0);
+            double ih = std::max(iy1 - iy0, 0.0);
+            double inter = iw * ih;
+            double uni = a0 + ow * oh - inter;
+            double iou = uni > 0 ? inter / uni : 0;
             if (iou > iou_th || inter > a0 * overlap_th) {
                 drop = true;
                 break;
@@ -124,8 +173,8 @@ void hostops_greedy_dedup(const float* boxes, int n, float iou_th,
             const int fw = std::max(1, (int)w), fh = std::max(1, (int)h);
             fill.assign((size_t)fw * fh, 0);
             for (int j : overlaps) {
-                float ox = boxes[4 * j], oy = boxes[4 * j + 1];
-                float ow = boxes[4 * j + 2], oh = boxes[4 * j + 3];
+                double ox = boxes[4 * j], oy = boxes[4 * j + 1];
+                double ow = boxes[4 * j + 2], oh = boxes[4 * j + 3];
                 int px0 = (int)(std::max(ox - ow / 2, cx - w / 2) -
                                 (cx - w / 2));
                 int px1 = (int)(std::min(ox + ow / 2, cx + w / 2) -
@@ -147,7 +196,10 @@ void hostops_greedy_dedup(const float* boxes, int n, float iou_th,
             if ((double)covered / fill.size() > fill_th) drop = true;
         }
         keep[i] = drop ? 0 : 1;
-        if (!drop) kept.push_back(i);
+        if (!drop)
+            for (int gy = cy0; gy <= cy1; ++gy)
+                for (int gx = cx0; gx <= cx1; ++gx)
+                    grid[(size_t)gy * gw + gx].push_back(i);
     }
 }
 
