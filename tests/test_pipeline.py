@@ -149,3 +149,40 @@ def test_hostops_matches_numpy_fallback():
     loc = np.concatenate([np.ones((n, 1), np.float32), boxes], 1)
     ref_keep = OCRPipeline._greedy_dedup_numpy(_P(), loc, list(range(n)))
     np.testing.assert_array_equal(np.where(keepm)[0], np.asarray(ref_keep))
+
+
+def test_hostops_grid_dedup_adversarial():
+    """The spatial-grid dedup must make identical keep/drop decisions to
+    the numpy fallback on clustered mixed-size boxes with many near
+    duplicates (the regime where a grid bug would bite)."""
+    from findtextcenternet_tpu.infer import hostops
+    from findtextcenternet_tpu.infer.pipeline import OCRPipeline
+    if not hostops.build_native():
+        pytest.skip("hostops not buildable")
+
+    class _P:
+        class cfg:
+            class inference:
+                iou_threshold = 0.5
+                overlap_threshold = 0.75
+                fill_ratio_threshold = 0.5
+
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        n = int(rng.integers(50, 1200))
+        centers = rng.uniform(0, 1500, (n, 2)).astype(np.float32)
+        wh = rng.uniform(0.5, 80, (n, 2)).astype(np.float32)
+        dup = rng.integers(0, n, n // 2)
+        jitter = rng.uniform(-4, 4, (len(dup), 2)).astype(np.float32)
+        scale = rng.uniform(0.7, 1.3, (len(dup), 2)).astype(np.float32)
+        boxes = np.concatenate([
+            np.concatenate([centers, wh], 1),
+            np.concatenate([centers[dup] + jitter, wh[dup] * scale], 1),
+        ]).astype(np.float32)
+        keepm = np.asarray(
+            hostops.greedy_dedup(boxes, 0.5, 0.75, 0.5), bool)
+        loc = np.concatenate(
+            [np.ones((len(boxes), 1), np.float32), boxes], 1)
+        ref = OCRPipeline._greedy_dedup_numpy(
+            _P(), loc, list(range(len(boxes))))
+        np.testing.assert_array_equal(np.where(keepm)[0], np.asarray(ref))
