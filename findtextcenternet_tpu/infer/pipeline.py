@@ -642,45 +642,54 @@ class OCRPipeline:
         fdim = glyphfeatures.shape[-1] if glyphfeatures.ndim == 2 \
             else FEATURE_DIM
         enc_dim = fdim + 6
-        features, feature_idx = [], []
-        prev_block, prev_idx, vertical = 0, 0, 0
-        for rec in detected_boxes:
-            bid, block, idx, subidx, subtype = (int(rec[0]), int(rec[1]),
-                                                int(rec[2]), int(rec[3]),
-                                                int(rec[4]))
-            if bid < 0:
-                continue
-            if prev_block != block:
-                prev_block = block
-                g = np.zeros(enc_dim, np.float32)
-                g[fdim + 0] = 5 * vertical
-                g[-1] = 5
-                features.append(g)
-                feature_idx.append((-1, -1, -1, -1, -1))
-                prev_idx = -1
-            if prev_idx != idx:
-                prev_idx = idx
-                g = np.zeros(enc_dim, np.float32)
-                g[fdim + 0] = 5 * vertical
-                g[-1] = 5
-                features.append(g)
-                feature_idx.append((-1, -1, -1, -1, -1))
-
-            ruby = 1 if (subtype & 6) == 6 else 0
-            rubybase = 1 if (subtype & 6) == 2 else 0
-            space = 1 if subtype & 8 else 0
-            emphasis = 1 if subtype & 16 else 0
-            vertical = 1 if subtype & 1 else 0
-
-            g = np.concatenate([
-                glyphfeatures[bid],
-                5 * np.array([vertical, rubybase, ruby, space, emphasis, 0],
-                             np.float32)])
-            features.append(g)
-            feature_idx.append((bid, block, idx, subidx, subtype))
-        if not features:
+        rows = np.asarray(detected_boxes)
+        rows = rows[rows[:, 0] >= 0].astype(np.int64) if len(rows) else rows
+        if not len(rows):
             return np.zeros((0, enc_dim), np.float32), []
-        return np.stack(features), feature_idx
+        bid, block, idx, subtype = (rows[:, 0], rows[:, 1], rows[:, 2],
+                                    rows[:, 4])
+        n = len(rows)
+
+        vert = (subtype & 1).astype(np.float32)
+        rubybase = ((subtype & 6) == 2).astype(np.float32)
+        ruby = ((subtype & 6) == 6).astype(np.float32)
+        space = ((subtype & 8) != 0).astype(np.float32)
+        emphasis = ((subtype & 16) != 0).astype(np.float32)
+
+        # separator-row bookkeeping, vectorized: a block separator fires
+        # on every block transition (initial state block=0), and an idx
+        # separator on every idx transition OR after any block separator
+        # (the block row resets the running idx to -1, never a real idx)
+        blk_sep = np.empty(n, bool)
+        blk_sep[0] = block[0] != 0
+        blk_sep[1:] = block[1:] != block[:-1]
+        idx_sep = np.empty(n, bool)
+        idx_sep[0] = idx[0] != 0
+        idx_sep[1:] = idx[1:] != idx[:-1]
+        idx_sep |= blk_sep
+        nsep = blk_sep.astype(np.int64) + idx_sep
+        pos = np.cumsum(nsep) + np.arange(n)   # glyph row positions
+        total = int(pos[-1]) + 1
+
+        out = np.zeros((total, enc_dim), np.float32)
+        out[pos, :fdim] = glyphfeatures[bid]
+        out[pos, fdim:] = 5 * np.stack(
+            [vert, rubybase, ruby, space, emphasis,
+             np.zeros_like(vert)], 1)
+        # separator rows carry the *previous* glyph's vertical flag (the
+        # running state updates after the separators are emitted)
+        vert_prev = np.concatenate([[0.0], vert[:-1]]).astype(np.float32)
+        isp = pos[idx_sep] - 1
+        out[isp, fdim] = 5 * vert_prev[idx_sep]
+        out[isp, -1] = 5
+        bsp = pos[blk_sep] - 2          # block sep always precedes an idx sep
+        out[bsp, fdim] = 5 * vert_prev[blk_sep]
+        out[bsp, -1] = 5
+
+        fi = np.full((total, 5), -1, np.int64)
+        fi[pos] = rows[:, :5]
+        feature_idx = list(map(tuple, fi.tolist()))
+        return out, feature_idx
 
     @staticmethod
     def split_windows(features: np.ndarray,
