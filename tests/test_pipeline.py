@@ -80,6 +80,72 @@ def test_build_feature_stream_separators():
         assert stream[i, -1] == 5.0
 
 
+def test_build_feature_stream_matches_loop_oracle():
+    """The vectorized stream assembly must be bit-identical to the
+    straightforward per-row loop (the reference's control flow,
+    `/root/reference/process_ocr_base.py:114-174`)."""
+    def loop_oracle(detected_boxes, glyphfeatures):
+        fdim = glyphfeatures.shape[-1]
+        enc_dim = fdim + 6
+        features, feature_idx = [], []
+        prev_block, prev_idx, vertical = 0, 0, 0
+        for rec in detected_boxes:
+            bid, block, idx, subidx, subtype = (
+                int(rec[0]), int(rec[1]), int(rec[2]), int(rec[3]),
+                int(rec[4]))
+            if bid < 0:
+                continue
+            if prev_block != block:
+                prev_block = block
+                g = np.zeros(enc_dim, np.float32)
+                g[fdim] = 5 * vertical
+                g[-1] = 5
+                features.append(g)
+                feature_idx.append((-1, -1, -1, -1, -1))
+                prev_idx = -1
+            if prev_idx != idx:
+                prev_idx = idx
+                g = np.zeros(enc_dim, np.float32)
+                g[fdim] = 5 * vertical
+                g[-1] = 5
+                features.append(g)
+                feature_idx.append((-1, -1, -1, -1, -1))
+            ruby = 1 if (subtype & 6) == 6 else 0
+            rubybase = 1 if (subtype & 6) == 2 else 0
+            space = 1 if subtype & 8 else 0
+            emphasis = 1 if subtype & 16 else 0
+            vertical = 1 if subtype & 1 else 0
+            g = np.concatenate([
+                glyphfeatures[bid],
+                5 * np.array([vertical, rubybase, ruby, space,
+                              emphasis, 0], np.float32)])
+            features.append(g)
+            feature_idx.append((bid, block, idx, subidx, subtype))
+        if not features:
+            return np.zeros((0, enc_dim), np.float32), []
+        return np.stack(features), feature_idx
+
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        n = int(rng.integers(0, 600))
+        feats = rng.standard_normal((max(1, n), 32)).astype(np.float32)
+        recs, b, i = [], int(rng.integers(0, 3)), 0
+        for k in range(n):
+            if rng.uniform() < 0.03:
+                b += int(rng.integers(1, 3))
+                i = 0
+            if rng.uniform() < 0.1:
+                i += 1
+            recs.append([k if rng.uniform() > 0.02 else -1, b, i,
+                         int(rng.integers(0, 4)),
+                         int(rng.integers(0, 32))])
+        recs = np.asarray(recs, np.int64).reshape(-1, 5)
+        a1, f1 = loop_oracle(recs, feats)
+        a2, f2 = OCRPipeline.build_feature_stream(recs, feats)
+        np.testing.assert_array_equal(a1, a2)
+        assert f1 == f2
+
+
 def test_twopass_detection(tiny_pipeline):
     """Two-pass: big page triggers a low-res pre-pass whose detections
     merge with the tiled pass."""
