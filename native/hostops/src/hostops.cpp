@@ -15,10 +15,21 @@
 namespace {
 
 // 2-means cluster distance over one 256-bin histogram (float64 math,
-// matching the numpy version's semantics exactly)
+// matching the numpy version's semantics exactly). Iterates over the
+// OCCUPIED bins only — empty bins contribute exactly 0.0 to every sum
+// (adding 0.0 to a double is exact), so compacting first preserves the
+// bit-for-bit result while a small crop touches far fewer than 256 bins.
 double cluster_distance(const double* hist) {
+    int vals[256];
+    double cnts[256];
+    int m = 0;
     double s = 0, vsum = 0;
     for (int i = 0; i < 256; ++i) {
+        if (hist[i] != 0.0) {
+            vals[m] = i;
+            cnts[m] = hist[i];
+            ++m;
+        }
         s += hist[i];
         vsum += hist[i] * i;
     }
@@ -26,9 +37,9 @@ double cluster_distance(const double* hist) {
     double mean = vsum / s;
     int split = (int)(mean + 0.5);
     double lo_s = 0, lo_v = 0;
-    for (int i = 0; i < split; ++i) {
-        lo_s += hist[i];
-        lo_v += hist[i] * i;
+    for (int k = 0; k < m && vals[k] < split; ++k) {
+        lo_s += cnts[k];
+        lo_v += cnts[k] * vals[k];
     }
     double hi_s = s - lo_s, hi_v = vsum - lo_v;
     if (lo_s == 0 || hi_s == 0) return 0.0;
@@ -37,13 +48,13 @@ double cluster_distance(const double* hist) {
     while (d_prev != d) {
         d_prev = d;
         double s1 = 0, v1 = 0, s2 = 0, v2 = 0;
-        for (int i = 0; i < 256; ++i) {
-            if (std::fabs(i - k1) < std::fabs(i - k2)) {
-                s1 += hist[i];
-                v1 += hist[i] * i;
+        for (int k = 0; k < m; ++k) {
+            if (std::fabs(vals[k] - k1) < std::fabs(vals[k] - k2)) {
+                s1 += cnts[k];
+                v1 += cnts[k] * vals[k];
             } else {
-                s2 += hist[i];
-                v2 += hist[i] * i;
+                s2 += cnts[k];
+                v2 += cnts[k] * vals[k];
             }
         }
         if (s1 == 0 || s2 == 0) return 0.0;
