@@ -426,8 +426,11 @@ class OnnxEvaluator:
     @staticmethod
     def op_gelu(x, *, approximate="none"):
         del approximate   # emitters use exact gelu only
-        import math
-        erf = np.vectorize(math.erf, otypes=[np.float32])
+        try:
+            from scipy.special import erf
+        except ImportError:                       # pragma: no cover
+            import math
+            erf = np.vectorize(math.erf, otypes=[np.float32])
         return (0.5 * x * (1.0 + erf(
             (x / np.sqrt(2.0)).astype(np.float32)))).astype(np.float32)
 

@@ -349,6 +349,110 @@ class OCRPipeline:
         return self
 
     # ------------------------------------------------------------------
+    @classmethod
+    def from_onnx(cls, detector_onnx, encoder_onnx, decoder_onnx,
+                  config: Config = Config(),
+                  model_size: str = "xl") -> "OCRPipeline":
+        """Pipeline driven by the exported ONNX artifacts — the
+        equivalent of the reference's ``process_ocr_onnx.py`` backend
+        (`/root/reference/process_ocr_onnx.py:27-104`).
+
+        The graphs (written by :mod:`..export.onnx_models`) run through
+        onnxruntime when available, else the in-tree numpy evaluator;
+        they are batch-1 / shape-baked, so the host callback loops tiles
+        and windows. Every host stage (filters, line engine, stream,
+        assembly) is the shared pipeline code; the jitted stages call
+        the sessions via ``jax.pure_callback``.
+        """
+        from ..const import MODULO_LIST
+        from ..models.transformer import make_key_mask, mask_predict_fns
+        from .onnx_backend import OnnxSession
+
+        det = OnnxSession(detector_onnx)
+        enc = OnnxSession(encoder_onnx)
+        dec = OnnxSession(decoder_onnx)
+
+        fdim = config.detector.feature_dim
+        t = config.transformer
+        mp = config.mask_predict
+
+        def det_host(imgs):
+            imgs = np.asarray(imgs, np.float32)
+            heats, feats = [], []
+            for i in range(imgs.shape[0]):
+                out = det(image=imgs[i:i + 1].transpose(0, 3, 1, 2))
+                # artifact heatmap is 10-channel (keymap, peak-suppressed
+                # keymap, rest); the pipeline's fused peak extraction
+                # recomputes NMS from the raw keymap, so drop the
+                # redundant peak channel (same contract as from_exported)
+                h10 = out["heatmap"].transpose(0, 2, 3, 1)
+                heats.append(np.concatenate([h10[..., :1], h10[..., 2:]],
+                                            axis=-1))
+                feats.append(out["feature"].transpose(0, 2, 3, 1))
+            return (np.concatenate(heats, 0).astype(np.float32),
+                    np.concatenate(feats, 0).astype(np.float32))
+
+        def detector_apply(variables, images):
+            del variables
+            b, h, w, _ = images.shape
+            sds = (jax.ShapeDtypeStruct((b, h // 4, w // 4, 9),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((b, h // 4, w // 4, fdim),
+                                        jnp.float32))
+            return jax.pure_callback(det_host, sds, images)
+
+        le, ld, ed = t.max_enc_seq_len, t.max_dec_seq_len, t.embed_dim
+
+        def enc_host(e_in, km):
+            e_in = np.asarray(e_in, np.float32)
+            km = np.asarray(km, np.float32)
+            outs = [enc(encoder_input=e_in[i:i + 1],
+                        key_mask=km[i:i + 1])["encoder_output"]
+                    for i in range(e_in.shape[0])]
+            return np.concatenate(outs, 0).astype(np.float32)
+
+        def dec_host(d_in, e_out, km):
+            d_in = np.asarray(d_in).astype(np.int64)
+            e_out = np.asarray(e_out, np.float32)
+            km = np.asarray(km, np.float32)
+            res = [[] for _ in MODULO_LIST]
+            for i in range(d_in.shape[0]):
+                out = dec(encoder_output=e_out[i:i + 1],
+                          decoder_input=d_in[i:i + 1],
+                          key_mask=km[i:i + 1])
+                for j, m in enumerate(MODULO_LIST):
+                    res[j].append(out[f"modulo_{m}"])
+            return tuple(np.concatenate(r, 0).astype(np.float32)
+                         for r in res)
+
+        def decode_fn(variables, enc_input):
+            del variables
+            b = enc_input.shape[0]
+            km = make_key_mask(enc_input)
+
+            def encode_cb(e_in):
+                return jax.pure_callback(
+                    enc_host,
+                    jax.ShapeDtypeStruct((b, le, ed), jnp.float32),
+                    e_in, km)
+
+            def decode_cb(d_in, e_out, km_):
+                sds = tuple(
+                    jax.ShapeDtypeStruct((b, ld, m), jnp.float32)
+                    for m in MODULO_LIST)
+                return jax.pure_callback(dec_host, sds, d_in, e_out, km_)
+
+            return mask_predict_fns(
+                encode_cb, decode_cb, enc_input, ld,
+                max_rounds=mp.max_rounds, topk=mp.topk,
+                remask_threshold=mp.remask_threshold,
+                early_stop_threshold=mp.early_stop_threshold)
+
+        return cls(config, detector_variables={}, transformer_variables={},
+                   model_size=model_size, detector_apply=detector_apply,
+                   decode_fn=decode_fn)
+
+    # ------------------------------------------------------------------
     # stage 1: tiled detection
     # ------------------------------------------------------------------
 

@@ -3,11 +3,16 @@
 Usage:
     python -m findtextcenternet_tpu.infer.run_ocr [--resize=F]
         [--model-size=xl] [--model-pt=path] [--model3-pt=path]
-        [--random-weights] [--tiny] images...
+        [--random-weights] [--tiny] [--onnx-dir=DIR] images...
 
 Weights: by default looks for ``model.pt`` / ``model3.pt`` in the CWD and
 imports them (`io/torch_import.py`); ``--random-weights`` runs the full
-pipeline with randomly initialized weights (smoke/benchmark mode).
+pipeline with randomly initialized weights (smoke/benchmark mode);
+``--onnx-dir`` runs from the exported ONNX artifacts instead of live
+weights (the reference's ``run_ocr.py onnx`` / ``process_ocr_onnx.py``
+backend) — expects TextDetector.onnx, TransformerEncoder.onnx and
+TransformerDecoder.onnx in DIR (written by
+``python -m findtextcenternet_tpu.export.onnx_models``).
 """
 from __future__ import annotations
 
@@ -23,10 +28,12 @@ from .pipeline import OCRPipeline, ocr_file
 
 def build_pipeline(model_size: str = "xl", model_pt: str = "model.pt",
                    model3_pt: str = "model3.pt",
-                   random_weights: bool = False):
+                   random_weights: bool = False,
+                   onnx_dir: str | None = None):
     """Construct an OCRPipeline the way the CLIs do: import reference
     checkpoints when present, else random weights; ``tiny`` swaps in the
-    fast smoke config. Shared by run_ocr and tools/visualize."""
+    fast smoke config; ``onnx_dir`` drives the exported ONNX artifacts.
+    Shared by run_ocr and tools/visualize."""
     cfg = Config()
     if model_size != cfg.detector.model_size:
         cfg = dataclasses.replace(
@@ -49,7 +56,15 @@ def build_pipeline(model_size: str = "xl", model_pt: str = "model.pt",
             mask_predict=dataclasses.replace(cfg.mask_predict,
                                              max_rounds=2))
 
-    if not random_weights and os.path.exists(model_pt) and \
+    if onnx_dir:
+        from .onnx_backend import ARTIFACT_NAMES
+        paths = {k: os.path.join(onnx_dir, v)
+                 for k, v in ARTIFACT_NAMES.items()}
+        pipeline = OCRPipeline.from_onnx(
+            paths["detector"], paths["encoder"], paths["decoder"],
+            cfg, model_size)
+        print(f"loaded ONNX artifacts from {onnx_dir}")
+    elif not random_weights and os.path.exists(model_pt) and \
             os.path.exists(model3_pt):
         pipeline = OCRPipeline.from_torch_checkpoints(
             model_pt, model3_pt, cfg, model_size)
@@ -67,6 +82,7 @@ def main(argv=None):
     model_pt, model3_pt = "model.pt", "model3.pt"
     random_weights = False
     twopass = False
+    onnx_dir = None
     files = []
     for a in argv:
         if a.startswith("--resize="):
@@ -81,6 +97,8 @@ def main(argv=None):
             random_weights = True
         elif a == "--twopass":
             twopass = True
+        elif a.startswith("--onnx-dir="):
+            onnx_dir = a.split("=", 1)[1]
         elif a == "--tiny":
             model_size = "tiny"
             random_weights = True
@@ -92,7 +110,7 @@ def main(argv=None):
         return 1
 
     pipeline = build_pipeline(model_size, model_pt, model3_pt,
-                              random_weights)
+                              random_weights, onnx_dir=onnx_dir)
 
     for f in files:
         print(f"== {f}")
