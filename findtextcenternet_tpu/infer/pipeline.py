@@ -171,7 +171,7 @@ class OCRPipeline:
     def __init__(self, config: Config = Config(),
                  detector_variables=None, transformer_variables=None,
                  model_size: Optional[str] = None, seed: int = 0,
-                 detector_apply=None, decode_fn=None):
+                 detector_apply=None, decode_fn=None, mesh=None):
         """``detector_apply``/``decode_fn`` override the model calls while
         keeping every pipeline stage intact — the hook the differential
         parity test uses to run identical nets through this pipeline and
@@ -180,6 +180,15 @@ class OCRPipeline:
         detector_apply(variables, images) -> (heatmap (B,H/4,W/4,9),
         features (B,H/4,W/4,F)); decode_fn(variables, enc_input) ->
         (codes (B,400), probs).
+
+        ``mesh``: a ``('data','model')`` :func:`..parallel.make_mesh`
+        mesh shards inference across chips — tile batches and decode
+        window buckets split over the ``data`` axis with replicated
+        weights (GSPMD inserts no collectives in the forward pass, so
+        detector throughput scales linearly over ICI). Requires
+        ``inference.detector_batch`` divisible by the data-axis size;
+        window buckets are padded up to it. The reference has no
+        multi-device serving path (SURVEY.md §2.8) — this is new design.
         """
         self.cfg = config
         size = model_size or config.detector.model_size
@@ -217,10 +226,28 @@ class OCRPipeline:
         mp = config.mask_predict
         ic = config.inference
 
+        self.mesh = mesh
+        self._min_bucket = 1
+        repl = data = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            n_data = mesh.shape["data"]
+            if ic.detector_batch % n_data:
+                raise ValueError(
+                    f"inference.detector_batch={ic.detector_batch} must be "
+                    f"divisible by the mesh data axis ({n_data})")
+            self._min_bucket = n_data
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            if self.det_vars is not None:
+                self.det_vars = jax.device_put(self.det_vars, repl)
+            if self.tf_vars is not None:
+                self.tf_vars = jax.device_put(self.tf_vars, repl)
+
         apply_fn = detector_apply or self.detector.apply
         self._apply_fn = apply_fn   # tools (annotate) reuse the same net
 
-        @jax.jit
         def _detect(variables, images, region_masks):
             # tiles ship to the device as uint8 (4x less transfer over
             # the device link than f32); the [0,1] scaling happens here,
@@ -254,7 +281,13 @@ class OCRPipeline:
             }
             return peaks, maps
 
-        self._detect = _detect
+        if mesh is None:
+            self._detect = jax.jit(_detect)
+        else:
+            # weights replicated, tile batch split over the data axis
+            self._detect = jax.jit(_detect,
+                                   in_shardings=(repl, data, data),
+                                   out_shardings=data)
 
         if decode_fn is None:
             def decode_fn(variables, enc_input):
@@ -264,7 +297,12 @@ class OCRPipeline:
                     remask_threshold=mp.remask_threshold,
                     early_stop_threshold=mp.early_stop_threshold)
 
-        self._decode = jax.jit(decode_fn)
+        if mesh is None:
+            self._decode = jax.jit(decode_fn)
+        else:
+            self._decode = jax.jit(decode_fn,
+                                   in_shardings=(repl, data),
+                                   out_shardings=data)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -889,7 +927,7 @@ class OCRPipeline:
         # variation reuses compiled decode graphs (all-zero rows make an
         # empty key mask and decode to PAD)
         n = len(windows)
-        bucket = 1
+        bucket = self._min_bucket      # mesh data-axis size, else 1
         while bucket < n:
             bucket *= 2
         batch = np.zeros((bucket, enc_len, enc_dim), np.float32)
