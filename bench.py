@@ -104,7 +104,39 @@ def bench_train_step():
         return {"train_bench_error": str(e)[:120]}
 
 
+def wait_for_device(max_minutes: float = 15.0) -> bool:
+    """Gate on a live device before benching: the axon tunnel can wedge
+    for tens of minutes after any OOM'd/killed execution (every op then
+    hangs or returns opaque INVALID_ARGUMENT). Probe with a tiny op in a
+    killable SUBPROCESS (a wedged readback blocks its thread forever)
+    and retry until the tunnel answers or the budget runs out."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_minutes * 60
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float(jnp.zeros((8, 8)).sum()))")
+    first = True
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True, timeout=120)
+            if r.returncode == 0 and r.stdout.strip().endswith("0.0"):
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        if first:
+            print("# device probe failed; waiting for the tunnel to "
+                  "recover", flush=True)
+            first = False
+        time.sleep(60)
+
+
 def main():
+    if os.environ.get("BENCH_PROBE", "1") != "0":
+        wait_for_device(float(os.environ.get("BENCH_PROBE_MINS", "15")))
     train_stats = {}
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         train_stats = bench_train_step()

@@ -100,19 +100,103 @@ DEFAULT_CLASS_WEIGHTS: Dict[str, float] = {
     CLASS_OTHER: 0.01,
 }
 
+# ---------------------------------------------------------------------------
+# kanji tiers — the algorithmic stand-in for the reference's JIS level
+# lists (`data/1st_kanji.txt` 2965 / `2nd_kanji.txt` 3390 /
+# `3rd_kanji.txt` 1259 / `4th_kanji.txt` 2436 codepoints, consumed as
+# tier-weighted pools by `generate_random_txt.py:293-356`)
+# ---------------------------------------------------------------------------
 
-def classify_pool(chars: Iterable[str]) -> Dict[str, List[str]]:
+JIS_TIER_SIZES = (2965, 3390, 1259)
+
+# sampling mass per tier, replacing the flat common/rare kanji split:
+# tier 1 carries most of the kanji probability like JIS level 1 does in
+# real text, the long tail stays reachable but rare
+DEFAULT_TIER_WEIGHTS: Dict[str, float] = {
+    "kanji_t1": 0.28, "kanji_t2": 0.06, "kanji_t3": 0.025,
+    "kanji_t4": 0.015,
+}
+
+_CJK_RANGES = ((0x4E00, 0x9FFF), (0x3400, 0x4DBF))
+
+
+def _is_kanji(ch: str) -> bool:
+    c = ord(ch)
+    return any(lo <= c <= hi for lo, hi in _CJK_RANGES)
+
+
+def build_kanji_tiers(corpus_texts: Iterable[str] = (),
+                      sizes: Sequence[int] = JIS_TIER_SIZES
+                      ) -> List[str]:
+    """len(sizes)+1 tier strings, most-common kanji first.
+
+    Ranking: the curated :data:`KANJI_COMMON` head, then corpus kanji by
+    descending frequency, then the remaining CJK Unified block in
+    codepoint order (Kangxi-radical order — a weak but deterministic
+    commonness proxy). With a real corpus the tiers converge on the same
+    shape as the reference's JIS level lists; without one they still
+    give the factory the full ~21k-char kanji repertoire instead of a
+    narrow fixed pool.
+    """
+    counts: collections.Counter = collections.Counter()
+    for text in corpus_texts:
+        for ch in text:
+            if _is_kanji(ch):
+                counts[ch] += 1
+    ranked: List[str] = []
+    seen = set()
+    for ch in KANJI_COMMON:
+        if ch not in seen:
+            ranked.append(ch)
+            seen.add(ch)
+    for ch, _ in counts.most_common():
+        if ch not in seen:
+            ranked.append(ch)
+            seen.add(ch)
+    for lo, hi in _CJK_RANGES:
+        for c in range(lo, hi + 1):
+            ch = chr(c)
+            if ch not in seen:
+                ranked.append(ch)
+                seen.add(ch)
+    tiers, i = [], 0
+    for s in sizes:
+        tiers.append("".join(ranked[i:i + s]))
+        i += s
+    tiers.append("".join(ranked[i:]))
+    return tiers
+
+
+def classify_pool(chars: Iterable[str],
+                  kanji_tiers: Sequence[str] = None
+                  ) -> Dict[str, List[str]]:
+    """Pools by class; with ``kanji_tiers``, kanji split into
+    ``kanji_t1..tN`` tier classes instead of common/rare."""
+    tier_of = None
+    if kanji_tiers is not None:
+        tier_of = {}
+        for ti, tier in enumerate(kanji_tiers):
+            for ch in tier:
+                tier_of.setdefault(ch, ti)
     pools: Dict[str, List[str]] = collections.defaultdict(list)
     for ch in chars:
-        pools[char_class(ch)].append(ch)
+        cls = char_class(ch)
+        if tier_of is not None and \
+                cls in (CLASS_KANJI_COMMON, CLASS_KANJI_RARE):
+            cls = f"kanji_t{tier_of.get(ch, len(kanji_tiers) - 1) + 1}"
+        pools[cls].append(ch)
     return dict(pools)
 
 
 def weighted_char_sampler(chars: Sequence[str], rng,
-                          weights: Dict[str, float] = None):
+                          weights: Dict[str, float] = None,
+                          kanji_tiers: Sequence[str] = None):
     """Callable returning random chars with class-level weighting."""
-    weights = weights or DEFAULT_CLASS_WEIGHTS
-    pools = classify_pool(chars)
+    if weights is None:
+        weights = DEFAULT_CLASS_WEIGHTS
+        if kanji_tiers is not None:
+            weights = {**DEFAULT_CLASS_WEIGHTS, **DEFAULT_TIER_WEIGHTS}
+    pools = classify_pool(chars, kanji_tiers)
     classes = [c for c in pools if weights.get(c, 0) > 0]
     if not classes:
         classes = list(pools)

@@ -13,7 +13,8 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 
 from .charpools import (
-    EN_WORDS_SEED, JP_WORDS_SEED, build_wordlist, weighted_char_sampler)
+    EN_WORDS_SEED, JP_WORDS_SEED, build_kanji_tiers, build_wordlist,
+    weighted_char_sampler)
 from .layout import Canvas
 from .rasterizer import GlyphRasterizer, find_fonts
 
@@ -21,6 +22,8 @@ from .rasterizer import GlyphRasterizer, find_fonts
 HIRAGANA = "".join(chr(c) for c in range(0x3041, 0x3097))
 KATAKANA = "".join(chr(c) for c in range(0x30A1, 0x30FB))
 ASCII = "".join(chr(c) for c in range(0x21, 0x7F))
+# block sample kept for fontcheck's coverage report; page text draws
+# from the full tiered repertoire (build_kanji_tiers) instead
 KANJI_COMMON = "".join(chr(c) for c in range(0x4E00, 0x4F80))
 HANGUL = "".join(chr(c) for c in range(0xAC00, 0xAC80))
 
@@ -46,6 +49,10 @@ class PageGenerator:
         # (`generate_random_txt.py:917-940`, `data/wordlist.txt`)
         self.jp_words = build_wordlist(self.corpus, "jp") or JP_WORDS_SEED
         self.en_words = build_wordlist(self.corpus, "en") or EN_WORDS_SEED
+        # tiered kanji repertoire (~21k chars), the stand-in for the
+        # reference's JIS level lists (data/1st..4th_kanji.txt); fonts'
+        # cmaps then narrow it to what each font renders
+        self.kanji_tiers = build_kanji_tiers(self.corpus)
         self._samplers: Dict[str, object] = {}
 
     def _rast(self, size: int, bold=False, italic=False) -> GlyphRasterizer:
@@ -58,7 +65,7 @@ class PageGenerator:
             return self._charset
         key = rast.font_path
         if key not in self._coverage:
-            pool = HIRAGANA + KATAKANA + ASCII + KANJI_COMMON
+            pool = HIRAGANA + KATAKANA + ASCII + "".join(self.kanji_tiers)
             covered = "".join(c for c in pool if rast.has_glyph(c))
             self._coverage[key] = covered or ASCII
         return self._coverage[key]
@@ -72,7 +79,8 @@ class PageGenerator:
         # for a different charset.
         key = chars if len(chars) < 512 else hash(chars)
         if key not in self._samplers:
-            self._samplers[key] = weighted_char_sampler(chars, self.rng)
+            self._samplers[key] = weighted_char_sampler(
+                chars, self.rng, kanji_tiers=self.kanji_tiers)
         return self._samplers[key](n)
 
     _hangul_cache: Dict[str, str] = {}

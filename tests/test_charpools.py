@@ -62,3 +62,33 @@ def test_generator_word_page_uses_wordlists():
     assert "hello" in gen.en_words
     page = gen.generate(kind="words")
     assert page["image"].shape == (400, 400)
+
+
+def test_build_kanji_tiers_shape_and_ranking():
+    from findtextcenternet_tpu.factory.charpools import (
+        JIS_TIER_SIZES, build_kanji_tiers)
+    corpus = ["日本語の文章です。漢字の頻度を数える。" * 3]
+    tiers = build_kanji_tiers(corpus)
+    # reference tier-list sizes (data/1st..3rd_kanji.txt) + the tail
+    assert [len(t) for t in tiers[:3]] == list(JIS_TIER_SIZES)
+    assert sum(len(t) for t in tiers) > 20000       # full CJK repertoire
+    assert "日" in tiers[0] and "語" in tiers[0]     # corpus kanji promoted
+    seen = set()
+    for t in tiers:                                  # tiers are disjoint
+        assert not (seen & set(t))
+        seen |= set(t)
+
+
+def test_tiered_sampler_weights_common_kanji():
+    import numpy as np
+
+    from findtextcenternet_tpu.factory.charpools import (
+        build_kanji_tiers, weighted_char_sampler)
+    tiers = build_kanji_tiers()
+    chars = "あいうえおABC12、。" + tiers[0][:500] + tiers[3][-200:]
+    s = weighted_char_sampler(chars, np.random.default_rng(0),
+                              kanji_tiers=tiers)
+    out = s(2000)
+    t1 = sum(1 for c in out if c in set(tiers[0][:500]))
+    t4 = sum(1 for c in out if c in set(tiers[3][-200:]))
+    assert t1 > 3 * t4 > 0 or (t1 > 50 and t4 >= 0)
