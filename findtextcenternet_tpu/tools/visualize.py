@@ -8,11 +8,12 @@ CLI:
     python -m findtextcenternet_tpu.tools.visualize \\
         [--mode=detect|ocr|json] [--model-size=xl] [--model-pt=path] \\
         [--model3-pt=path] [--random-weights] [--tiny] \\
-        [--json=result.json] images...
+        [--onnx-dir=DIR] [--json=result.json] images...
 
 ``detect`` = test_image1 (boxes + maps overlays), ``ocr`` = test_image3
 (full pipeline + OCR-JSON overlay), ``json`` = plot_json (replot an
-existing OCR JSON over the page, no model needed).
+existing OCR JSON over the page, no model needed). ``--onnx-dir`` runs
+from exported ONNX artifacts (the test_image*_onnx harnesses).
 """
 from __future__ import annotations
 
@@ -139,6 +140,7 @@ def main(argv=None):
     model_pt, model3_pt = "model.pt", "model3.pt"
     random_weights = False
     json_path = None
+    onnx_dir = None
     files = []
     for a in argv:
         if a.startswith("--mode="):
@@ -156,6 +158,10 @@ def main(argv=None):
             random_weights = True
         elif a.startswith("--json="):
             json_path = a.split("=", 1)[1]
+        elif a.startswith("--onnx-dir="):
+            # the reference's test_image*_onnx.py harnesses: same visual
+            # checks, exported-artifact backend
+            onnx_dir = a.split("=", 1)[1]
         else:
             files.extend(glob.glob(a))
 
@@ -177,7 +183,7 @@ def main(argv=None):
     from ..infer.run_ocr import build_pipeline
 
     pipeline = build_pipeline(model_size, model_pt, model3_pt,
-                              random_weights)
+                              random_weights, onnx_dir=onnx_dir)
     run = test_image1 if mode == "detect" else test_image3
     for f in files:
         print(run(pipeline, f))
