@@ -273,8 +273,12 @@ class OCRPipeline:
                 p = jax.nn.sigmoid(x.astype(jnp.float32))
                 return jnp.round(p * 255).astype(jnp.uint8)
 
+            # only the maps the host consumes ship back: line/seps feed
+            # the line engine, codes feed the 3x3 code max-pool filter.
+            # (the keymap's information reaches the host through the
+            # fused peak extraction — shipping the full map too was pure
+            # readback waste on the tunnel-bandwidth-bound path)
             maps = {
-                "keymap": q8(heatmap[..., 0]),
                 "line": q8(heatmap[..., 3]),
                 "seps": q8(heatmap[..., 4]),
                 "codes": q8(heatmap[..., 5:9]),
@@ -559,7 +563,6 @@ class OCRPipeline:
                 m[y_min:y_max, x_min:x_max] = True
                 masks.append(m)
 
-        keymap_all = np.zeros((mh, mw), np.float32)
         lines_all = np.zeros((mh, mw), np.float32)
         seps_all = np.zeros((mh, mw), np.float32)
         codes_all = np.zeros((mh, mw, 4), np.float32)
@@ -596,8 +599,6 @@ class OCRPipeline:
                            out=lines_all[sl])
                 np.maximum(seps_all[sl], maps["seps"][bi] * m,
                            out=seps_all[sl])
-                np.maximum(keymap_all[sl], maps["keymap"][bi] * m,
-                           out=keymap_all[sl])
                 for k in range(4):
                     np.maximum(codes_all[sl][..., k],
                                maps["codes"][bi][..., k] * m,
