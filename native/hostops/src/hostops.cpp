@@ -19,19 +19,28 @@ namespace {
 // OCCUPIED bins only — empty bins contribute exactly 0.0 to every sum
 // (adding 0.0 to a double is exact), so compacting first preserves the
 // bit-for-bit result while a small crop touches far fewer than 256 bins.
-double cluster_distance(const double* hist) {
+// Counts arrive as uint32 (integers convert to double exactly; crop
+// pixel counts are far below 2^32) and are CLEARED during compaction,
+// so the shared histogram buffer never needs a per-crop refill.
+// ``hist`` and ``hist2`` are two interleaved sub-histograms of the same
+// crop (split by pixel parity to break the same-bin increment dependency
+// chain on flat backgrounds); their integer sum is the true histogram.
+double cluster_distance_clear(uint32_t* hist, uint32_t* hist2) {
     int vals[256];
     double cnts[256];
     int m = 0;
     double s = 0, vsum = 0;
     for (int i = 0; i < 256; ++i) {
-        if (hist[i] != 0.0) {
+        uint32_t hc = hist[i] + hist2[i];
+        if (hc != 0) {
+            hist[i] = 0;
+            hist2[i] = 0;
             vals[m] = i;
-            cnts[m] = hist[i];
+            cnts[m] = (double)hc;
+            s += (double)hc;
+            vsum += (double)hc * i;
             ++m;
         }
-        s += hist[i];
-        vsum += hist[i] * i;
     }
     if (s == 0) return 0.0;
     double mean = vsum / s;
@@ -74,26 +83,40 @@ extern "C" {
 // out: (n,) float32 max-over-channels cluster distance.
 void hostops_hist_contrast(const uint8_t* img, int h, int w, int c,
                            const int32_t* rects, int n, float* out) {
-    std::vector<double> hist(256 * c);
+    // shared uint32 sub-histograms (x-parity interleaved);
+    // cluster_distance_clear zeroes the occupied bins as it compacts,
+    // so there is no per-crop memset
+    std::vector<uint32_t> hist(2 * 256 * c, 0u);
+    uint32_t* ha = hist.data();
+    uint32_t* hb = hist.data() + 256 * c;
     for (int k = 0; k < n; ++k) {
         int x0 = std::max(0, rects[4 * k + 0]);
         int y0 = std::max(0, rects[4 * k + 1]);
         int x1 = std::min(w, rects[4 * k + 2]);
         int y1 = std::min(h, rects[4 * k + 3]);
-        std::fill(hist.begin(), hist.end(), 0.0);
+        if (x1 <= x0 || y1 <= y0) {
+            out[k] = 0.0f;
+            continue;
+        }
         for (int y = y0; y < y1; ++y) {
             const uint8_t* row = img + ((size_t)y * w + x0) * c;
-            for (int x = x0; x < x1; ++x) {
+            int x = x0;
+            for (; x + 1 < x1; x += 2) {
                 for (int ch = 0; ch < c; ++ch)
-                    hist[ch * 256 + *row++] += 1.0;
+                    ++ha[ch * 256 + row[ch]];
+                for (int ch = 0; ch < c; ++ch)
+                    ++hb[ch * 256 + row[c + ch]];
+                row += 2 * c;
             }
+            if (x < x1)
+                for (int ch = 0; ch < c; ++ch)
+                    ++ha[ch * 256 + *row++];
         }
         double best = 0.0;
-        if (x1 > x0 && y1 > y0) {
-            for (int ch = 0; ch < c; ++ch)
-                best = std::max(best,
-                                cluster_distance(hist.data() + ch * 256));
-        }
+        for (int ch = 0; ch < c; ++ch)
+            best = std::max(best,
+                            cluster_distance_clear(ha + ch * 256,
+                                                   hb + ch * 256));
         out[k] = (float)best;
     }
 }
