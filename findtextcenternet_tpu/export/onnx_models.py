@@ -243,7 +243,8 @@ def _emit_leafmap(e: _Emit, taps: Sequence[str],
 
 def emit_detector(variables: Dict, model_size: str = "xl",
                   height: int = 768, width: int = 768,
-                  feature_dim: int = FEATURE_DIM, qdq=None) -> bytes:
+                  feature_dim: int = FEATURE_DIM, qdq=None,
+                  half: bool = False) -> bytes:
     """`TextDetector.onnx`: image [1,3,H,W] in [0,1] ->
     (heatmap [1,10,H/4,W/4], feature [1,F,H/4,W/4]).
 
@@ -252,8 +253,11 @@ def emit_detector(variables: Dict, model_size: str = "xl",
     :class:`QdqContext`) switches to the static-int8 QDQ form — use
     :func:`emit_detector_qdq`.
     """
+    if qdq is not None and half:
+        raise ValueError("half (fp16 weights) and qdq (int8) are "
+                         "mutually exclusive")
     params, stats = variables["params"], variables["batch_stats"]
-    g = OnnxGraph("TextDetector")
+    g = OnnxGraph("TextDetector", half_weights=half)
     e = _Emit(g)
     img = g.add_input("image", [1, 3, height, width])
 
@@ -310,12 +314,13 @@ def emit_detector_qdq(variables: Dict, act_ranges: Dict,
 # ---------------------------------------------------------------------------
 
 
-def emit_code_decoder(variables: Dict, batch: int = 1) -> bytes:
+def emit_code_decoder(variables: Dict, batch: int = 1,
+                      half: bool = False) -> bytes:
     """`CodeDecoder.onnx`: feature [B,F] -> softmaxed modulo_{m} triples
     (reference `CodeDecoder`, `/root/reference/models/detector.py:298-305`).
     """
     params, stats = variables["params"], variables["batch_stats"]
-    g = OnnxGraph("CodeDecoder")
+    g = OnnxGraph("CodeDecoder", half_weights=half)
     e = _Emit(g)
     x = g.add_input("feature_input", [batch, FEATURE_DIM])
     for bi, m in enumerate(MODULO_LIST):
@@ -388,12 +393,13 @@ def _emit_swiglu(e: _Emit, x: str, params) -> str:
     return e.dense(e.g.node("Mul", [x1, xg]), params["w2"])
 
 
-def emit_transformer_encoder(variables: Dict, dims) -> bytes:
+def emit_transformer_encoder(variables: Dict, dims,
+                             half: bool = False) -> bytes:
     """`TransformerEncoder.onnx`: (encoder_input [1,L,F+6],
     key_mask [1,1,1,L]) -> encoder_output [1,L,D] (reference
     `TransformerEncoderPredictor`, `models/transformer.py:362-370`)."""
     params = variables["params"]["encoder"]
-    g = OnnxGraph("TransformerEncoder")
+    g = OnnxGraph("TransformerEncoder", half_weights=half)
     e = _Emit(g)
     L, D = dims.max_enc_seq_len, dims.embed_dim
     x = g.add_input("encoder_input", [1, L, dims.enc_input_dim])
@@ -416,13 +422,14 @@ def emit_transformer_encoder(variables: Dict, dims) -> bytes:
     return g.serialize()
 
 
-def emit_transformer_decoder(variables: Dict, dims) -> bytes:
+def emit_transformer_decoder(variables: Dict, dims,
+                             half: bool = False) -> bytes:
     """`TransformerDecoder.onnx`: (encoder_output [1,Le,D],
     decoder_input [1,Ld] int64, key_mask [1,1,1,Le]) -> softmaxed
     modulo_{m} logits (reference `TransformerDecoderPredictor`,
     `models/transformer.py:387-395`)."""
     params = variables["params"]["decoder"]
-    g = OnnxGraph("TransformerDecoder")
+    g = OnnxGraph("TransformerDecoder", half_weights=half)
     e = _Emit(g)
     Le, Ld, D = dims.max_enc_seq_len, dims.max_dec_seq_len, dims.embed_dim
     enc = g.add_input("encoder_output", [1, Le, D])
@@ -478,6 +485,11 @@ def main(argv=None):
     ap.add_argument("--int8", action="store_true",
                     help="also write TextDetector.quant.onnx (static QDQ; "
                          "reference quantize1_onnx.py equivalent)")
+    ap.add_argument("--fp16", action="store_true",
+                    help="write the artifacts with float16 weight storage "
+                         "(+Cast to f32 at use; half-size files — the "
+                         "reference convert_fp16_onnx.py equivalent) "
+                         "instead of f32")
     ap.add_argument("--calib-npy", default=None,
                     help="calibration images (N,H,W,3) float [0,1]; "
                          "factory pages are generated when omitted")
@@ -496,7 +508,8 @@ def main(argv=None):
         p = os.path.join(args.outdir, "TextDetector.onnx")
         with open(p, "wb") as f:
             f.write(emit_detector(det_vars, args.model_size,
-                                  args.height, args.width))
+                                  args.height, args.width,
+                                  half=args.fp16))
         print(p)
         if args.int8:
             from ..models.detector import CenterNetDetection
@@ -525,7 +538,7 @@ def main(argv=None):
                         "batch_stats": full["batch_stats"]["decoder"]}
             p = os.path.join(args.outdir, "CodeDecoder.onnx")
             with open(p, "wb") as f:
-                f.write(emit_code_decoder(dec_vars))
+                f.write(emit_code_decoder(dec_vars, half=args.fp16))
             print(p)
     if args.transformer_ckpt:
         from ..config import Config
@@ -542,11 +555,13 @@ def main(argv=None):
             load_torch_state_dict(args.transformer_ckpt), dims)
         p = os.path.join(args.outdir, "TransformerEncoder.onnx")
         with open(p, "wb") as f:
-            f.write(emit_transformer_encoder(tr_vars, dims))
+            f.write(emit_transformer_encoder(tr_vars, dims,
+                                             half=args.fp16))
         print(p)
         p = os.path.join(args.outdir, "TransformerDecoder.onnx")
         with open(p, "wb") as f:
-            f.write(emit_transformer_decoder(tr_vars, dims))
+            f.write(emit_transformer_decoder(tr_vars, dims,
+                                             half=args.fp16))
         print(p)
 
 

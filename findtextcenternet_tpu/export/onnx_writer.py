@@ -123,11 +123,19 @@ def _value_info(name: str, dtype: int, shape: Sequence) -> bytes:
 
 
 class OnnxGraph:
-    """Accumulates nodes/initializers and serializes a ModelProto."""
+    """Accumulates nodes/initializers and serializes a ModelProto.
 
-    def __init__(self, name: str = "graph", opset: int = 20):
+    ``half_weights`` stores every f32 initializer with >= 16 elements as
+    float16 plus a Cast back to f32 at its use site — the deployment
+    payload of the reference's ``convert_fp16_onnx.py`` (half-size
+    artifacts; runtimes fold or fuse the casts) while compute stays f32.
+    """
+
+    def __init__(self, name: str = "graph", opset: int = 20,
+                 half_weights: bool = False):
         self.name = name
         self.opset = opset
+        self.half_weights = half_weights
         self.nodes: List[bytes] = []
         self.inits: Dict[str, np.ndarray] = {}
         self.inputs: List[bytes] = []
@@ -148,8 +156,13 @@ class OnnxGraph:
         return name
 
     def init(self, arr: np.ndarray, base: str = "w") -> str:
+        arr = np.asarray(arr)
+        if self.half_weights and arr.dtype == np.float32 and arr.size >= 16:
+            name = self.uniq(base + "_h")
+            self.inits[name] = arr.astype(np.float16)
+            return self.node("Cast", [name], to=DT_FLOAT)
         name = self.uniq(base)
-        self.inits[name] = np.asarray(arr)
+        self.inits[name] = arr
         return name
 
     def node(self, op: str, inputs: Sequence[str],
@@ -582,6 +595,10 @@ class OnnxEvaluator:
     @staticmethod
     def op_identity(x):
         return x
+
+    @staticmethod
+    def op_cast(x, *, to):
+        return np.asarray(x).astype(_DT2NP[to])
 
     @staticmethod
     def op_mod(a, b, *, fmod=0):

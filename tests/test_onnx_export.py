@@ -230,3 +230,49 @@ def test_transformer_decoder_onnx_matches_flax(rng, tf_model_and_vars):
         np.testing.assert_allclose(
             out[f"modulo_{m}"], np.asarray(jax.nn.softmax(lv, axis=-1)),
             rtol=1e-4, atol=1e-5)
+
+
+def test_fp16_weight_storage(rng):
+    """half=True stores f32 initializers as fp16 + Cast (the reference's
+    convert_fp16_onnx.py payload): ~half the bytes, close outputs."""
+    model = CenterNetDetection(model_size="tiny", feature_dim=8)
+    img = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    np_vars = jax.tree.map(np.asarray, variables)
+
+    f32 = emit_detector(np_vars, "tiny", height=64, width=64,
+                        feature_dim=8)
+    f16 = emit_detector(np_vars, "tiny", height=64, width=64,
+                        feature_dim=8, half=True)
+    assert len(f16) < 0.62 * len(f32)
+    m = parse_model(f16)
+    assert any(n["op"] == "Cast" for n in m["nodes"])
+    assert any(v.dtype == np.float16 for v in m["inits"].values())
+
+    feeds = {"image": np.transpose(np.asarray(img), (0, 3, 1, 2))}
+    ref = OnnxEvaluator(f32)(**feeds)
+    got = OnnxEvaluator(f16)(**feeds)
+    for k in ("heatmap", "feature"):
+        a = np.nan_to_num(got[k], neginf=0)
+        b = np.nan_to_num(ref[k], neginf=0)
+        rms = float(np.sqrt(np.mean(b ** 2))) or 1.0
+        assert float(np.sqrt(np.mean((a - b) ** 2))) / rms < 0.05
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        from findtextcenternet_tpu.export.onnx_models import QdqContext
+        emit_detector(np_vars, "tiny", height=64, width=64, feature_dim=8,
+                      half=True, qdq=QdqContext({}))
+
+
+def test_fp16_transformer_roundtrip(rng, tf_model_and_vars):
+    model, variables = tf_model_and_vars
+    np_vars = jax.tree.map(np.asarray, variables)
+    enc_in = np.asarray(rng.standard_normal((1, 8, 12)), np.float32)
+    km = np.zeros((1, 1, 1, 8), np.float32)
+    f32 = emit_transformer_encoder(np_vars, TINY)
+    f16 = emit_transformer_encoder(np_vars, TINY, half=True)
+    assert len(f16) < 0.75 * len(f32)
+    a = OnnxEvaluator(f32)(encoder_input=enc_in, key_mask=km)
+    b = OnnxEvaluator(f16)(encoder_input=enc_in, key_mask=km)
+    np.testing.assert_allclose(a["encoder_output"], b["encoder_output"],
+                               rtol=0.15, atol=0.05)
