@@ -67,14 +67,27 @@ bool invert3(const double m[9], double out[9]) {
     return true;
 }
 
-inline float getpx(const uint8_t* img, int h, int w, int x, int y) {
-    if (x < 0 || x >= w || y < 0 || y >= h) return 0.f;
-    return img[(size_t)y * w + x] / 255.f;
-}
-
+// Sampling reads go through a zero-bordered float copy of the source:
+// a single coordinate range test replaces four bounds-checked gathers
+// per pixel, and the u8 -> [0,1] conversion happens once per source
+// pixel through a LUT (i / 255.f — the identical expression the checked
+// path used, so results stay bit-for-bit equal to the numpy backend).
+// Taps that land exactly one pixel outside read the zero border, which
+// is what the bounds check returned; anything farther out contributed
+// exact 0.0 to every term, so the whole pixel short-circuits to 0.
 void warp(const uint8_t* src, int sh, int sw, const double inv[9],
           double startx, double starty, double step, int oh, int ow,
           bool nearest, float* out) {
+    float lut[256];
+    for (int i = 0; i < 256; ++i) lut[i] = i / 255.f;
+    const int pw = sw + 2;
+    std::vector<float> pad((size_t)(sh + 2) * pw, 0.f);
+    for (int y = 0; y < sh; ++y) {
+        const uint8_t* srow = src + (size_t)y * sw;
+        float* drow = pad.data() + (size_t)(y + 1) * pw + 1;
+        for (int x = 0; x < sw; ++x) drow[x] = lut[srow[x]];
+    }
+    const float* P = pad.data();
     for (int y = 0; y < oh; ++y) {
         for (int x = 0; x < ow; ++x) {
             double gx = x * step + startx;
@@ -83,14 +96,20 @@ void warp(const uint8_t* src, int sh, int sw, const double inv[9],
             double ry = inv[3] * gx + inv[4] * gy + inv[5];
             float v;
             if (nearest) {
-                v = getpx(src, sh, sw, (int)(rx + 0.5), (int)(ry + 0.5));
-            } else {
+                int xi = (int)(rx + 0.5), yi = (int)(ry + 0.5);
+                v = (xi >= -1 && xi <= sw && yi >= -1 && yi <= sh)
+                    ? P[(size_t)(yi + 1) * pw + (xi + 1)] : 0.f;
+            } else if (rx >= -1.0 && rx < (double)sw &&
+                       ry >= -1.0 && ry < (double)sh) {
                 int x0 = (int)std::floor(rx), y0 = (int)std::floor(ry);
                 float dx = (float)(rx - x0), dy = (float)(ry - y0);
-                v = (1 - dx) * (1 - dy) * getpx(src, sh, sw, x0, y0) +
-                    dx * (1 - dy) * getpx(src, sh, sw, x0 + 1, y0) +
-                    (1 - dx) * dy * getpx(src, sh, sw, x0, y0 + 1) +
-                    dx * dy * getpx(src, sh, sw, x0 + 1, y0 + 1);
+                const float* p0 = P + (size_t)(y0 + 1) * pw + (x0 + 1);
+                v = (1 - dx) * (1 - dy) * p0[0] +
+                    dx * (1 - dy) * p0[1] +
+                    (1 - dx) * dy * p0[pw] +
+                    dx * dy * p0[pw + 1];
+            } else {
+                v = 0.f;
             }
             out[(size_t)y * ow + x] = v;
         }
