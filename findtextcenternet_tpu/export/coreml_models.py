@@ -123,13 +123,20 @@ class MilMapper:
     def map_resize(self, m, n, args, **kw):
         # the Leafmap cascade always upsamples by exactly 2x: MIL's
         # upsample_bilinear(align_corners=True) matches ONNX
-        # align_corners Resize for integer factors
+        # align_corners Resize for integer factors. Accepts either the
+        # scales form (batch-symbolic emitters) or the legacy sizes form.
         x = args[0]
-        sizes = np.asarray(args[3]).ravel()
-        h_in, w_in = self.b.spatial_shape(x)
-        sh, sw = int(sizes[2]) // int(h_in), int(sizes[3]) // int(w_in)
-        assert sh * h_in == int(sizes[2]) and sw * w_in == int(sizes[3]), \
-            (sizes, h_in, w_in)
+        if len(args) > 2 and args[2] is not None:
+            scales = np.asarray(args[2]).ravel()
+            sh, sw = int(scales[2]), int(scales[3])
+            assert float(sh) == float(scales[2]) and \
+                float(sw) == float(scales[3]), scales
+        else:
+            sizes = np.asarray(args[3]).ravel()
+            h_in, w_in = self.b.spatial_shape(x)
+            sh, sw = int(sizes[2]) // int(h_in), int(sizes[3]) // int(w_in)
+            assert sh * h_in == int(sizes[2]) and \
+                sw * w_in == int(sizes[3]), (sizes, h_in, w_in)
         return self.b.upsample_bilinear(x=x, scale_factor_height=sh,
                                         scale_factor_width=sw,
                                         align_corners=True)
@@ -142,6 +149,12 @@ class MilMapper:
 
     def map_reshape(self, m, n, args, **kw):
         shape = [int(s) for s in np.asarray(args[1]).ravel()]
+        # ONNX allowzero=0 semantics: a 0 entry copies the input dim
+        # (the batch-symbolic emitters use it); MIL reshape shares the
+        # convention but the numpy twin needs concrete dims
+        in_shape = self.b.static_shape(args[0])
+        shape = [in_shape[i] if s == 0 else s
+                 for i, s in enumerate(shape)]
         return self.b.reshape(x=args[0], shape=shape)
 
     def map_softmax(self, m, n, args, *, axis=-1, **kw):
@@ -182,6 +195,10 @@ class NumpyMilBackend:
     @staticmethod
     def spatial_shape(x):
         return x.shape[2], x.shape[3]
+
+    @staticmethod
+    def static_shape(x):
+        return tuple(int(d) for d in x.shape)
 
     @staticmethod
     def conv(x, weight, bias, strides, pad, groups):
@@ -325,6 +342,10 @@ class MilBuilderBackend:
     @staticmethod
     def spatial_shape(x):
         return x.shape[2], x.shape[3]
+
+    @staticmethod
+    def static_shape(x):
+        return tuple(int(d) for d in x.shape)
 
     def conv(self, x, weight, bias, strides, pad, groups):
         kw = dict(x=x, weight=weight, strides=strides, pad_type="custom",

@@ -231,10 +231,12 @@ def _emit_leafmap(e: _Emit, taps: Sequence[str],
         x = e.bn(x, params[f"up{i}_bn"], stats[f"up{i}_bn"], bn_eps)
         x = e.gelu(x)
         if i < n - 1:
-            h2, w2 = tap_hw[level - 1]
-            d = params[f"up{i}_conv"]["kernel"].shape[-1]
-            sizes = e.g.init(np.asarray([1, d, h2, w2], np.int64), "sz")
-            x = e.g.node("Resize", [x, "", "", sizes], mode="linear",
+            # scales instead of sizes keeps the graph batch-symbolic;
+            # tap grids halve exactly (H,W divisible by 32), so the
+            # align-corners output dims are identical either way
+            scales = e.g.init(np.asarray([1.0, 1.0, 2.0, 2.0],
+                                         np.float32), "sc")
+            x = e.g.node("Resize", [x, "", scales], mode="linear",
                          coordinate_transformation_mode="align_corners")
         y = x
     return e.conv(y, params["top_conv"], bias=True, qdq=qdq,
@@ -245,8 +247,9 @@ def emit_detector(variables: Dict, model_size: str = "xl",
                   height: int = 768, width: int = 768,
                   feature_dim: int = FEATURE_DIM, qdq=None,
                   half: bool = False) -> bytes:
-    """`TextDetector.onnx`: image [1,3,H,W] in [0,1] ->
-    (heatmap [1,10,H/4,W/4], feature [1,F,H/4,W/4]).
+    """`TextDetector.onnx`: image [B,3,H,W] in [0,1] ->
+    (heatmap [B,10,H/4,W/4], feature [B,F,H/4,W/4]); the batch dim is
+    symbolic (one artifact serves every tile-chunk size).
 
     Includes the 3x3 peak suppression of the reference's export wrapper
     (`/root/reference/models/detector.py:283-296`). ``qdq`` (a
@@ -256,10 +259,15 @@ def emit_detector(variables: Dict, model_size: str = "xl",
     if qdq is not None and half:
         raise ValueError("half (fp16 weights) and qdq (int8) are "
                          "mutually exclusive")
+    if height % 32 or width % 32:
+        raise ValueError("height/width must be divisible by 32")
     params, stats = variables["params"], variables["batch_stats"]
     g = OnnxGraph("TextDetector", half_weights=half)
     e = _Emit(g)
-    img = g.add_input("image", [1, 3, height, width])
+    # symbolic batch: the graph itself is batch-agnostic (Resize uses
+    # scales), so one artifact serves every tile-chunk size — matching
+    # the StableHLO export's symbolic batch dim
+    img = g.add_input("image", ["b", 3, height, width])
 
     x = g.node("Mul", [img, g.init(np.float32(2.0).reshape(()), "two")])
     x = g.node("Sub", [x, g.init(np.float32(1.0).reshape(()), "one")])
@@ -287,10 +295,10 @@ def emit_detector(variables: Dict, model_size: str = "xl",
     peak = g.node("Where", [
         is_less, g.init(np.float32(-np.inf).reshape(()), "ninf"), keymap])
     g.node("Concat", [keymap, peak, rest], axis=1, out="heatmap")
-    g.add_output("heatmap", [1, sum(HEAD_DIMS) + 1, height // 4,
+    g.add_output("heatmap", ["b", sum(HEAD_DIMS) + 1, height // 4,
                              width // 4])
     g.node("Identity", [feature], out="feature")
-    g.add_output("feature", [1, feature_dim, height // 4, width // 4])
+    g.add_output("feature", ["b", feature_dim, height // 4, width // 4])
     return g.serialize()
 
 
@@ -367,8 +375,9 @@ def _emit_mha(e: _Emit, q_in: str, params, seq_q: int, embed_dim: int,
     v = e.matmul(kv_in, _np(params, "v_proj", "kernel"))
 
     def heads(t, seq, perm):
+        # leading 0 copies the (symbolic) batch dim through Reshape
         t = g.node("Reshape", [t, g.init(np.asarray(
-            [1, seq, num_heads, hd], np.int64), "sh")])
+            [0, seq, num_heads, hd], np.int64), "sh")])
         return g.node("Transpose", [t], perm=list(perm))
 
     qh = heads(q, seq_q, (0, 2, 1, 3))      # (1,H,Lq,hd)
@@ -383,7 +392,7 @@ def _emit_mha(e: _Emit, q_in: str, params, seq_q: int, embed_dim: int,
     out = g.node("MatMul", [attn, vh])      # (1,H,Lq,hd)
     out = g.node("Transpose", [out], perm=[0, 2, 1, 3])
     out = g.node("Reshape", [out, g.init(np.asarray(
-        [1, seq_q, embed_dim], np.int64), "sh")])
+        [0, seq_q, embed_dim], np.int64), "sh")])
     return e.matmul(out, _np(params, "out_proj", "kernel"))
 
 
@@ -395,15 +404,16 @@ def _emit_swiglu(e: _Emit, x: str, params) -> str:
 
 def emit_transformer_encoder(variables: Dict, dims,
                              half: bool = False) -> bytes:
-    """`TransformerEncoder.onnx`: (encoder_input [1,L,F+6],
-    key_mask [1,1,1,L]) -> encoder_output [1,L,D] (reference
-    `TransformerEncoderPredictor`, `models/transformer.py:362-370`)."""
+    """`TransformerEncoder.onnx`: (encoder_input [B,L,F+6],
+    key_mask [B,1,1,L]) -> encoder_output [B,L,D], symbolic batch
+    (reference `TransformerEncoderPredictor`,
+    `models/transformer.py:362-370`)."""
     params = variables["params"]["encoder"]
     g = OnnxGraph("TransformerEncoder", half_weights=half)
     e = _Emit(g)
     L, D = dims.max_enc_seq_len, dims.embed_dim
-    x = g.add_input("encoder_input", [1, L, dims.enc_input_dim])
-    km = g.add_input("key_mask", [1, 1, 1, L])
+    x = g.add_input("encoder_input", ["b", L, dims.enc_input_dim])
+    km = g.add_input("key_mask", ["b", 1, 1, L])
 
     x = e.matmul(x, _np(params, "embed", "kernel"))
     x = _pos_add(e, x, _np(params, "pos_emb", "table"), L)
@@ -418,23 +428,23 @@ def emit_transformer_encoder(variables: Dict, dims,
         # B2T residual: + ffn input + block input
         x = e.layernorm(e.add(e.add(x, ffn_in), skip), bp["norm2"])
     g.node("Identity", [x], out="encoder_output")
-    g.add_output("encoder_output", [1, L, D])
+    g.add_output("encoder_output", ["b", L, D])
     return g.serialize()
 
 
 def emit_transformer_decoder(variables: Dict, dims,
                              half: bool = False) -> bytes:
-    """`TransformerDecoder.onnx`: (encoder_output [1,Le,D],
-    decoder_input [1,Ld] int64, key_mask [1,1,1,Le]) -> softmaxed
-    modulo_{m} logits (reference `TransformerDecoderPredictor`,
-    `models/transformer.py:387-395`)."""
+    """`TransformerDecoder.onnx`: (encoder_output [B,Le,D],
+    decoder_input [B,Ld] int64, key_mask [B,1,1,Le]) -> softmaxed
+    modulo_{m} logits, symbolic batch (reference
+    `TransformerDecoderPredictor`, `models/transformer.py:387-395`)."""
     params = variables["params"]["decoder"]
     g = OnnxGraph("TransformerDecoder", half_weights=half)
     e = _Emit(g)
     Le, Ld, D = dims.max_enc_seq_len, dims.max_dec_seq_len, dims.embed_dim
-    enc = g.add_input("encoder_output", [1, Le, D])
-    tok = g.add_input("decoder_input", [1, Ld], dtype=DT_INT64)
-    km = g.add_input("key_mask", [1, 1, 1, Le])
+    enc = g.add_input("encoder_output", ["b", Le, D])
+    tok = g.add_input("decoder_input", ["b", Ld], dtype=DT_INT64)
+    km = g.add_input("key_mask", ["b", 1, 1, Le])
 
     # modulo-sum embedding
     x = None
@@ -461,7 +471,7 @@ def emit_transformer_decoder(variables: Dict, dims,
     for i, m in enumerate(MODULO_LIST):
         h = e.dense(x, params[f"out{i}"])
         g.node("Softmax", [h], axis=-1, out=f"modulo_{m}")
-        g.add_output(f"modulo_{m}", [1, Ld, m])
+        g.add_output(f"modulo_{m}", ["b", Ld, m])
     return g.serialize()
 
 

@@ -395,6 +395,18 @@ class OnnxEvaluator:
         co, cig, kh, kw = w.shape
         sh, sw = strides
         pt, pl, pb, pr = pads
+        # the im2col buffer scales with batch; slice large batches so a
+        # symbolic-batch artifact never materializes multi-GB buffers
+        oh_est = (h + pt + pb - kh) // sh + 1
+        ow_est = (wd + pl + pr - kw) // sw + 1
+        per_sample = 4 * (ci // group) * kh * kw * oh_est * ow_est
+        if n > 1 and n * per_sample > 512 * 1024 * 1024:
+            step = max(1, (512 * 1024 * 1024) // max(1, per_sample))
+            return np.concatenate(
+                [OnnxEvaluator.op_conv(
+                    x[i:i + step], w, b, strides=strides, pads=pads,
+                    group=group)
+                 for i in range(0, n, step)], axis=0)
         xp = np.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
         oh = (xp.shape[2] - kh) // sh + 1
         ow = (xp.shape[3] - kw) // sw + 1
@@ -559,7 +571,11 @@ class OnnxEvaluator:
 
     @staticmethod
     def op_reshape(x, shape, **kw):
-        return x.reshape([int(s) for s in shape])
+        # ONNX semantics (allowzero=0): a 0 entry copies the input dim —
+        # the emitters use it for the symbolic batch dimension
+        dims = [x.shape[i] if int(s) == 0 else int(s)
+                for i, s in enumerate([int(v) for v in shape])]
+        return x.reshape(dims)
 
     @staticmethod
     def op_softmax(x, *, axis=-1):

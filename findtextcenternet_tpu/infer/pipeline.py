@@ -401,10 +401,10 @@ class OCRPipeline:
 
         The graphs (written by :mod:`..export.onnx_models`) run through
         onnxruntime when available, else the in-tree numpy evaluator;
-        they are batch-1 / shape-baked, so the host callback loops tiles
-        and windows. Every host stage (filters, line engine, stream,
-        assembly) is the shared pipeline code; the jitted stages call
-        the sessions via ``jax.pure_callback``.
+        their batch dim is symbolic, so tile chunks and window buckets
+        evaluate in one call. Every host stage (filters, line engine,
+        stream, assembly) is the shared pipeline code; the jitted
+        stages call the sessions via ``jax.pure_callback``.
         """
         from ..const import MODULO_LIST
         from ..models.transformer import make_key_mask, mask_predict_fns
@@ -420,19 +420,15 @@ class OCRPipeline:
 
         def det_host(imgs):
             imgs = np.asarray(imgs, np.float32)
-            heats, feats = [], []
-            for i in range(imgs.shape[0]):
-                out = det(image=imgs[i:i + 1].transpose(0, 3, 1, 2))
-                # artifact heatmap is 10-channel (keymap, peak-suppressed
-                # keymap, rest); the pipeline's fused peak extraction
-                # recomputes NMS from the raw keymap, so drop the
-                # redundant peak channel (same contract as from_exported)
-                h10 = out["heatmap"].transpose(0, 2, 3, 1)
-                heats.append(np.concatenate([h10[..., :1], h10[..., 2:]],
-                                            axis=-1))
-                feats.append(out["feature"].transpose(0, 2, 3, 1))
-            return (np.concatenate(heats, 0).astype(np.float32),
-                    np.concatenate(feats, 0).astype(np.float32))
+            out = det(image=imgs.transpose(0, 3, 1, 2))
+            # artifact heatmap is 10-channel (keymap, peak-suppressed
+            # keymap, rest); the pipeline's fused peak extraction
+            # recomputes NMS from the raw keymap, so drop the redundant
+            # peak channel (same contract as from_exported)
+            h10 = out["heatmap"].transpose(0, 2, 3, 1)
+            heat9 = np.concatenate([h10[..., :1], h10[..., 2:]], axis=-1)
+            feat = out["feature"].transpose(0, 2, 3, 1)
+            return (heat9.astype(np.float32), feat.astype(np.float32))
 
         def detector_apply(variables, images):
             del variables
@@ -446,26 +442,16 @@ class OCRPipeline:
         le, ld, ed = t.max_enc_seq_len, t.max_dec_seq_len, t.embed_dim
 
         def enc_host(e_in, km):
-            e_in = np.asarray(e_in, np.float32)
-            km = np.asarray(km, np.float32)
-            outs = [enc(encoder_input=e_in[i:i + 1],
-                        key_mask=km[i:i + 1])["encoder_output"]
-                    for i in range(e_in.shape[0])]
-            return np.concatenate(outs, 0).astype(np.float32)
+            out = enc(encoder_input=np.asarray(e_in, np.float32),
+                      key_mask=np.asarray(km, np.float32))
+            return out["encoder_output"].astype(np.float32)
 
         def dec_host(d_in, e_out, km):
-            d_in = np.asarray(d_in).astype(np.int64)
-            e_out = np.asarray(e_out, np.float32)
-            km = np.asarray(km, np.float32)
-            res = [[] for _ in MODULO_LIST]
-            for i in range(d_in.shape[0]):
-                out = dec(encoder_output=e_out[i:i + 1],
-                          decoder_input=d_in[i:i + 1],
-                          key_mask=km[i:i + 1])
-                for j, m in enumerate(MODULO_LIST):
-                    res[j].append(out[f"modulo_{m}"])
-            return tuple(np.concatenate(r, 0).astype(np.float32)
-                         for r in res)
+            out = dec(encoder_output=np.asarray(e_out, np.float32),
+                      decoder_input=np.asarray(d_in).astype(np.int64),
+                      key_mask=np.asarray(km, np.float32))
+            return tuple(out[f"modulo_{m}"].astype(np.float32)
+                         for m in MODULO_LIST)
 
         def decode_fn(variables, enc_input):
             del variables

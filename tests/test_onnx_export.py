@@ -276,3 +276,46 @@ def test_fp16_transformer_roundtrip(rng, tf_model_and_vars):
     b = OnnxEvaluator(f16)(encoder_input=enc_in, key_mask=km)
     np.testing.assert_allclose(a["encoder_output"], b["encoder_output"],
                                rtol=0.15, atol=0.05)
+
+
+def test_symbolic_batch_evaluates_batched(rng, tf_model_and_vars):
+    """Artifacts carry a symbolic batch dim: a batch-2 evaluation equals
+    two stacked batch-1 evaluations (the from_onnx driver relies on it
+    to run tile chunks / window buckets in one call)."""
+    model, variables = tf_model_and_vars
+    np_vars = jax.tree.map(np.asarray, variables)
+    blob = emit_transformer_encoder(np_vars, TINY)
+    ev = OnnxEvaluator(blob)
+    enc_in = np.asarray(rng.standard_normal((2, 8, 12)), np.float32)
+    km = np.zeros((2, 1, 1, 8), np.float32)
+    both = ev(encoder_input=enc_in, key_mask=km)["encoder_output"]
+    for i in range(2):
+        one = ev(encoder_input=enc_in[i:i + 1],
+                 key_mask=km[i:i + 1])["encoder_output"]
+        np.testing.assert_allclose(both[i:i + 1], one, rtol=1e-5,
+                                   atol=1e-6)
+
+    dec_blob = emit_transformer_decoder(np_vars, TINY)
+    dv = OnnxEvaluator(dec_blob)
+    d_in = rng.integers(0, 5000, (2, 8)).astype(np.int64)
+    dboth = dv(encoder_output=both, decoder_input=d_in, key_mask=km)
+    done = dv(encoder_output=both[:1], decoder_input=d_in[:1],
+              key_mask=km[:1])
+    from findtextcenternet_tpu.const import MODULO_LIST
+    for m in MODULO_LIST:
+        np.testing.assert_allclose(dboth[f"modulo_{m}"][:1],
+                                   done[f"modulo_{m}"], rtol=1e-5,
+                                   atol=1e-6)
+
+    det_model = CenterNetDetection(model_size="tiny", feature_dim=8)
+    img = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    dvars = det_model.init(jax.random.PRNGKey(0), img)
+    dblob = emit_detector(jax.tree.map(np.asarray, dvars), "tiny",
+                          height=64, width=64, feature_dim=8)
+    de = OnnxEvaluator(dblob)
+    feeds = np.transpose(np.asarray(img), (0, 3, 1, 2))
+    b2 = de(image=feeds)
+    b1 = de(image=feeds[:1])
+    np.testing.assert_allclose(
+        np.nan_to_num(b2["heatmap"][:1], neginf=0),
+        np.nan_to_num(b1["heatmap"], neginf=0), rtol=1e-5, atol=1e-6)
