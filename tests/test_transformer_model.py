@@ -125,3 +125,23 @@ def test_mask_predict_runs_and_is_jittable(tiny_model):
     # same as the reference after its 8 rounds exhaust)
     c, p = np.asarray(codes), np.asarray(probs)
     assert (c[p > 0] <= MAX_CODEPOINT).all()
+
+
+def test_decode_cached_matches_decode(tiny_model):
+    """The hoisted cross-K/V decode path (`Transformer.decode_cached`,
+    used by mask_predict's refinement loop) is bit-identical to the
+    plain `decode` — same projections, evaluated once per window
+    instead of once per round."""
+    model, params = tiny_model
+    rng = np.random.default_rng(7)
+    enc_in = jnp.asarray(rng.standard_normal((2, 10, 12)), jnp.float32)
+    tok = jnp.asarray(rng.integers(0, 5000, (2, 8)), jnp.int32)
+    km = make_key_mask(enc_in)
+    enc_out = model.apply(params, enc_in, method=Transformer.encode)
+    full = model.apply(params, tok, enc_out, km,
+                       method=Transformer.decode)
+    kv = model.apply(params, enc_out, method=Transformer.cross_kv)
+    cached = model.apply(params, tok, kv, km,
+                         method=Transformer.decode_cached)
+    for a, b in zip(full, cached):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
