@@ -440,10 +440,11 @@ def mask_predict(model: Transformer, params, enc_input,
         remask_threshold=remask_threshold,
         early_stop_threshold=early_stop_threshold,
         # hoist the loop-invariant cross-attention K/V out of the
-        # refinement loop: ~1/3 of the per-round decoder matmul FLOPs
-        # (2*Le*D^2 per block) are paid once per window instead of once
-        # per round — guaranteed at trace time, not left to the
-        # backend's while-loop LICM heuristics
+        # refinement loop: 2*Le*D^2 MACs per decoder block (~12% of the
+        # per-round decoder matmul FLOPs at the production 400/400
+        # shapes) are paid once per window instead of once per round —
+        # guaranteed at trace time, not left to the backend's
+        # while-loop LICM heuristics
         prepare_fn=lambda enc_out: model.apply(
             params, enc_out, method=Transformer.cross_kv))
 
