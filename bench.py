@@ -136,7 +136,23 @@ def wait_for_device(max_minutes: float = 15.0) -> bool:
 
 def main():
     if os.environ.get("BENCH_PROBE", "1") != "0":
-        wait_for_device(float(os.environ.get("BENCH_PROBE_MINS", "15")))
+        if not wait_for_device(float(os.environ.get("BENCH_PROBE_MINS",
+                                                    "15"))):
+            # a wedged axon tunnel hangs every op indefinitely, and the
+            # xl model is not CPU-benchable on this 1-core box: emit an
+            # explicit zero-measurement line instead of hanging the
+            # driver with no JSON at all
+            print(json.dumps({
+                "metric": "ocr_e2e_768px_tiles_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "tiles/s",
+                "vs_baseline": 0.0,
+                "device": "tunnel_down_no_measurement",
+                "note": "axon tunnel unreachable for the whole probe "
+                        "budget; see BENCH history for last-good chip "
+                        "numbers",
+            }))
+            return
     train_stats = {}
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         train_stats = bench_train_step()
