@@ -309,6 +309,22 @@ def main():
             "dense_decode_ms": round(ddecode_dt * 1e3, 1),
             "dense_host_ms": round(dhost * 1e3, 1),
         }
+        if os.environ.get("BENCH_DECODE_BF16", "1") != "0":
+            # the bf16-matmul decode variant (the TPU analog of the
+            # reference's fp16 ONNX/CoreML deployments; f32 stays the
+            # exact-parity default) at the decode-bound dense load
+            import dataclasses
+            cfg16 = dataclasses.replace(
+                pipe.cfg, inference=dataclasses.replace(
+                    pipe.cfg.inference, decode_dtype="bfloat16"))
+            pipe16 = OCRPipeline(
+                cfg16, detector_variables=pipe.det_vars,
+                transformer_variables=pipe.tf_vars,
+                model_size=pipe.detector.model_size)
+            pipe16.decode_windows(dstream, dwindows)
+            d16_dt, _ = best_of(
+                lambda: pipe16.decode_windows(dstream, dwindows))
+            dense_stats["dense_decode_bf16_ms"] = round(d16_dt * 1e3, 1)
 
     # effective end-to-end throughput for this page. Serial = every stage
     # in sequence; pipelined = ocr_pages' steady state, where host stages
