@@ -387,6 +387,10 @@ class OnnxEvaluator:
         return {o["name"]: env[o["name"]] for o in self.m["outputs"]}
 
     # --- ops -----------------------------------------------------------
+    # im2col working-set cap for batched conv; module-level so tests can
+    # exercise the chunked path with small tensors
+    CONV_BUFFER_BYTES = 512 * 1024 * 1024
+
     @staticmethod
     def op_conv(x, w, b=None, *, strides=(1, 1), pads=(0, 0, 0, 0),
                 group=1, kernel_shape=None, dilations=None):
@@ -400,8 +404,9 @@ class OnnxEvaluator:
         oh_est = (h + pt + pb - kh) // sh + 1
         ow_est = (wd + pl + pr - kw) // sw + 1
         per_sample = 4 * (ci // group) * kh * kw * oh_est * ow_est
-        if n > 1 and n * per_sample > 512 * 1024 * 1024:
-            step = max(1, (512 * 1024 * 1024) // max(1, per_sample))
+        budget = OnnxEvaluator.CONV_BUFFER_BYTES
+        if n > 1 and n * per_sample > budget:
+            step = max(1, budget // max(1, per_sample))
             return np.concatenate(
                 [OnnxEvaluator.op_conv(
                     x[i:i + step], w, b, strides=strides, pads=pads,

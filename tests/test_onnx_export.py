@@ -319,3 +319,18 @@ def test_symbolic_batch_evaluates_batched(rng, tf_model_and_vars):
     np.testing.assert_allclose(
         np.nan_to_num(b2["heatmap"][:1], neginf=0),
         np.nan_to_num(b1["heatmap"], neginf=0), rtol=1e-5, atol=1e-6)
+
+
+def test_conv_batch_chunking_matches_unchunked(rng, monkeypatch):
+    """The evaluator slices very large conv batches to bound the im2col
+    buffer; the chunked path must be numerically identical."""
+    x = np.asarray(rng.standard_normal((6, 3, 16, 16)), np.float32)
+    w = np.asarray(rng.standard_normal((4, 3, 3, 3)), np.float32)
+    b = np.asarray(rng.standard_normal(4), np.float32)
+    full = OnnxEvaluator.op_conv(x, w, b, strides=(1, 1),
+                                 pads=(1, 1, 1, 1))
+    monkeypatch.setattr(OnnxEvaluator, "CONV_BUFFER_BYTES",
+                        x[0:2].size * 9 * 4)   # forces ~2-sample chunks
+    chunked = OnnxEvaluator.op_conv(x, w, b, strides=(1, 1),
+                                    pads=(1, 1, 1, 1))
+    np.testing.assert_array_equal(full, chunked)
