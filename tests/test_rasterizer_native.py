@@ -266,3 +266,42 @@ def test_vertical_metrics_from_vmtx(tmp_path):
     assert m[9] == pytest.approx(150 * 64, abs=64)
     # tsb 120 units -> 12px
     assert m[8] == pytest.approx(12 * 64, abs=64)
+
+
+def test_corrupt_font_fuzz_no_crash():
+    """Truncated/bit-flipped SFNT files must never crash the in-process
+    parser (every file-internal offset is validated against the mapped
+    size — ttf.cpp's bounds-check contract). Runs in a subprocess so a
+    regression segfaults the child, not the test session."""
+    import sys
+
+    code = r'''
+import ctypes, pathlib, random, tempfile, os
+from findtextcenternet_tpu.factory.rasterizer import _load_rast_lib, find_fonts
+lib = _load_rast_lib()
+src = next(f for f in find_fonts()
+           if f.lower().endswith((".ttf", ".otf")))
+data = pathlib.Path(src).read_bytes()
+rng = random.Random(1)
+met = (ctypes.c_int32 * 10)()
+buf = (ctypes.c_uint8 * (1 << 22))()
+for trial in range(150):
+    n = rng.randrange(0, len(data))
+    blob = bytearray(data[:n])
+    for _ in range(rng.randrange(0, 16)):
+        if blob:
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+    with tempfile.NamedTemporaryFile(suffix=".ttf", delete=False) as tf:
+        tf.write(bytes(blob)); tmp = tf.name
+    h = lib.rast_open(tmp.encode(), float(24), 0, 0, 0)
+    if h:
+        for cp in (0x41, 0x3042, 0x4E00):
+            lib.rast_glyph(h, cp, trial % 2, met, buf, len(buf))
+        lib.rast_close(h)
+    os.unlink(tmp)
+print("OK")
+'''
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, (r.returncode, r.stderr[-2000:])
+    assert "OK" in r.stdout
