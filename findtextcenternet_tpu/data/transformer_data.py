@@ -480,6 +480,19 @@ def build_realdata_entry(features: np.ndarray,
     target_text = ""
     vertical = 0
     ruby_state = 0
+
+    def separator_row():
+        nonlocal ruby_state, target_text
+        g = np.zeros(enc_dim, np.float32)
+        g[fdim + 0] = 5 * vertical
+        g[-1] = 5
+        if ruby_state == 2:
+            target_text += "￻"
+        feature_values.append(g)
+        feature_idx.append(len(target_text))
+        ruby_state = 0
+        target_text += "\n"
+
     for box in boxlist:
         boxid = int(box["boxid"])
         blockid = int(box["blockid"])
@@ -487,23 +500,17 @@ def build_realdata_entry(features: np.ndarray,
         subtype = int(box["subtype"])
         text = box.get("text")
 
-        for is_block, cur, prev in ((True, blockid, prev_block),
-                                    (False, lineid, prev_line)):
-            if prev != cur:
-                if is_block:
-                    prev_block = blockid
-                    prev_line = -1
-                else:
-                    prev_line = lineid
-                g = np.zeros(enc_dim, np.float32)
-                g[fdim + 0] = 5 * vertical
-                g[-1] = 5
-                if ruby_state == 2:
-                    target_text += "￻"
-                feature_values.append(g)
-                feature_idx.append(len(target_text))
-                ruby_state = 0
-                target_text += "\n"
+        # the block check must reset prev_line BEFORE the line check so
+        # a block boundary always emits both separator rows — the
+        # reference sequences them exactly this way
+        # (`/root/reference/dataset/data_transformer.py:326-348`)
+        if prev_block != blockid:
+            prev_block = blockid
+            prev_line = -1
+            separator_row()
+        if prev_line != lineid:
+            prev_line = lineid
+            separator_row()
 
         cur_idx = len(target_text)
         if subtype & 8:

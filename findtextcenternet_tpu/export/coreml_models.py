@@ -456,8 +456,15 @@ def convert_to_mlpackage(onnx_bytes: bytes, out_path: str,
 
     model = parse_model(onnx_bytes)
     np2mil = {1: "fp32", 6: "int32", 7: "int32"}
+
+    def concrete(shape):
+        # the emitted graphs carry a symbolic batch dim ('b'); CoreML
+        # deployments are batch-1 exactly like the reference's
+        # mlpackages, so pin symbolic dims to 1 here
+        return tuple(d if isinstance(d, int) else 1 for d in shape)
+
     specs = [
-        mb.TensorSpec(shape=tuple(vi["shape"]),
+        mb.TensorSpec(shape=concrete(vi["shape"]),
                       dtype={"fp32": ct.converters.mil.types.fp32,
                              "int32": ct.converters.mil.types.int32}[
                           np2mil.get(vi["dtype"], "fp32")])
@@ -485,7 +492,7 @@ def convert_to_mlpackage(onnx_bytes: bytes, out_path: str,
     if image_input is not None:
         vi = next(v for v in model["inputs"] if v["name"] == image_input)
         kwargs["inputs"] = [
-            ct.ImageType(name=image_input, shape=tuple(vi["shape"]),
+            ct.ImageType(name=image_input, shape=concrete(vi["shape"]),
                          scale=1 / 255.0)]
     mlmodel = ct.convert(
         prog, convert_to="mlprogram",

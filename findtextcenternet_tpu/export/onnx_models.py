@@ -212,8 +212,7 @@ def _emit_backbone(e: _Emit, x: str, params, stats, model_size: str,
     return taps
 
 
-def _emit_leafmap(e: _Emit, taps: Sequence[str],
-                  tap_hw: Sequence[tuple], params, stats,
+def _emit_leafmap(e: _Emit, taps: Sequence[str], params, stats,
                   bn_eps: float = 1e-5, qdq=None, head: str = "") -> str:
     """Per-head upsampling cascade (models/detector.py Leafmap).
 
@@ -273,15 +272,12 @@ def emit_detector(variables: Dict, model_size: str = "xl",
     x = g.node("Sub", [x, g.init(np.float32(1.0).reshape(()), "one")])
     taps = _emit_backbone(e, x, params["backbone"], stats["backbone"],
                           model_size, qdq=qdq)
-    tap_hw = [(height // r, width // r) for r in (4, 8, 16, 32)]
-
     maps = [
-        _emit_leafmap(e, taps, tap_hw, params[h], stats[h], qdq=qdq,
-                      head=h)
+        _emit_leafmap(e, taps, params[h], stats[h], qdq=qdq, head=h)
         for h in HEAD_NAMES
     ]
     heat = g.node("Concat", maps, axis=1)
-    feature = _emit_leafmap(e, taps, tap_hw, params["feature"],
+    feature = _emit_leafmap(e, taps, params["feature"],
                             stats["feature"], qdq=qdq, head="feature")
 
     keymap = g.node("Gather",

@@ -630,10 +630,6 @@ class OnnxEvaluator:
         return a == b
 
     @staticmethod
-    def op_cast(x, *, to):
-        return x.astype(_DT2NP[to])
-
-    @staticmethod
     def op_exp(x):
         return np.exp(x)
 

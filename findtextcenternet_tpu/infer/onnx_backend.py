@@ -14,11 +14,11 @@ importable; otherwise the in-tree numpy evaluator
 but dependency-free, and exactly the evaluator the export tests validate
 against flax.
 
-The artifacts are emitted with a fixed batch of 1 and baked spatial /
-sequence dims (`..export.onnx_models`), matching the reference's export
-shapes (`/root/reference/convert1_onnx.py:29-55`); the sessions here
-loop images / windows host-side, and the pipeline's jitted stages reach
-them through ``jax.pure_callback``.
+The artifacts carry a symbolic batch dim with baked spatial / sequence
+dims (`..export.onnx_models`; spatial shapes match the reference's
+export, `/root/reference/convert1_onnx.py:29-55`), so a whole tile
+chunk or window bucket evaluates in one session call; the pipeline's
+jitted stages reach the sessions through ``jax.pure_callback``.
 """
 from __future__ import annotations
 

@@ -490,6 +490,15 @@ class OCRPipeline:
         tile = ic.tile_size
         step = int(tile * ic.stride_ratio)
 
+        if img.dtype != np.uint8:
+            # tiles ship to the device as uint8 (the [0,1] scaling
+            # happens on-device, keyed on the uint8 dtype) — coerce
+            # float pages here instead of silently feeding the detector
+            # unscaled values. Accept both float conventions: [0,1]
+            # (max <= 1) and 0..255.
+            scale = 255.0 if np.nanmax(img, initial=0.0) <= 1.0 else 1.0
+            img = np.clip(np.round(img * scale), 0, 255).astype(np.uint8)
+
         padx = max(0, (tile - img.shape[1]) % step, tile - img.shape[1])
         pady = max(0, (tile - img.shape[0]) % step, tile - img.shape[0])
         img = np.pad(img, [[0, pady], [0, padx], [0, 0]],

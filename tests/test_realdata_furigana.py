@@ -192,3 +192,24 @@ def test_load_realdata_dir_and_mixing(tmp_path):
     s = ds.sample()
     assert s["decoder_true"][0] == DECODER_SOT
     assert DECODER_EOT in s["decoder_true"]
+
+
+def test_block_boundary_same_lineid_emits_both_separators():
+    """The reference resets prev_line=-1 inside the block-separator
+    branch BEFORE the line check (data_transformer.py:326-348), so a new
+    block whose first lineid equals the previous block's last lineid
+    still gets both separator rows — and no spurious separator fires at
+    the new block's second glyph."""
+    boxes = [
+        {"boxid": 0, "blockid": 1, "lineid": 2, "subidx": 0,
+         "subtype": 0, "text": "A"},
+        {"boxid": 1, "blockid": 2, "lineid": 2, "subidx": 0,
+         "subtype": 0, "text": "X"},
+        {"boxid": 2, "blockid": 2, "lineid": 2, "subidx": 0,
+         "subtype": 0, "text": "Y"},
+    ]
+    feats = np.zeros((3, FEATURE_DIM), np.float32)
+    entry = build_realdata_entry(feats, boxes)
+    # rows: bsep, lsep, A, bsep, lsep, X, Y, trailing zero row
+    assert entry["text"] == "\n\nA\n\nXY"
+    assert entry["feature"].shape == (8, ENCODER_DIM)
