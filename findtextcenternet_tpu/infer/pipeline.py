@@ -285,13 +285,33 @@ class OCRPipeline:
             }
             return peaks, maps
 
+        def _detect_page(variables, page, offs, region_masks):
+            # the page ships to the device ONCE as uint8 and tiles are
+            # cut on-device with dynamic_slice — the 0.6-stride grid
+            # overlaps tiles ~2.4x, so host-side tiling re-uploads every
+            # overlap; bit-identical to host slicing. Cost: one compile
+            # per padded page shape (the persistent cache makes repeats
+            # free; book runs share one shape).
+            ts = ic.tile_size
+
+            def cut(off):
+                return jax.lax.dynamic_slice(
+                    page, (off[1], off[0], jnp.zeros((), off.dtype)),
+                    (ts, ts, 3))
+
+            return _detect(variables, jax.vmap(cut)(offs), region_masks)
+
         if mesh is None:
             self._detect = jax.jit(_detect)
+            self._detect_page = jax.jit(_detect_page)
         else:
             # weights replicated, tile batch split over the data axis
             self._detect = jax.jit(_detect,
                                    in_shardings=(repl, data, data),
                                    out_shardings=data)
+            self._detect_page = jax.jit(
+                _detect_page, in_shardings=(repl, repl, data, data),
+                out_shardings=data)
 
         if decode_fn is None:
             def decode_fn(variables, enc_input):
@@ -543,10 +563,9 @@ class OCRPipeline:
         mh, mw = H // SCALE, W // SCALE
         ms = tile // SCALE
 
-        tiles, offs, masks = [], [], []
+        offs, masks = [], []
         for y in range(0, H - tile + 1, step):
             for x in range(0, W - tile + 1, step):
-                tiles.append(img[y:y + tile, x:x + tile])   # uint8
                 offs.append((x, y))
                 m = np.zeros((ms, ms), bool)
                 x_min = int(ms * (1 - ic.stride_ratio) / 2) if x > 0 else 0
@@ -567,17 +586,20 @@ class OCRPipeline:
         B = ic.detector_batch
         # dispatch every batch up front: jax dispatch is async, so the
         # device works through the queue while the host merges earlier
-        # batches (the in-order stream keeps results sequential)
+        # batches (the in-order stream keeps results sequential). The
+        # page uploads once; tiles are cut on-device (_detect_page).
+        page_dev = jnp.asarray(img)
         pending = []
-        for i0 in range(0, len(tiles), B):
-            chunk = tiles[i0:i0 + B]
+        for i0 in range(0, len(offs), B):
+            coffs = offs[i0:i0 + B]
             cmask = masks[i0:i0 + B]
-            n = len(chunk)
+            n = len(coffs)
             if n < B:  # pad to the compiled batch shape
-                chunk = chunk + [np.zeros_like(chunk[0])] * (B - n)
+                coffs = coffs + [(0, 0)] * (B - n)
                 cmask = cmask + [np.zeros_like(cmask[0])] * (B - n)
-            pending.append((i0, n, self._detect(
-                self.det_vars, jnp.asarray(np.stack(chunk)),
+            pending.append((i0, n, self._detect_page(
+                self.det_vars, page_dev,
+                jnp.asarray(np.asarray(coffs, np.int32)),
                 jnp.asarray(np.stack(cmask)))))
 
         for i0, n, (peaks, maps) in pending:
