@@ -232,6 +232,19 @@ def main():
     ny = max(1, (PAGE_H - tile) // step + 1)
     n_tiles = nx * ny
 
+    # ---- stage B2: full-page detector wall time -------------------------
+    # run_detector end to end on the real page: single page upload +
+    # on-device tile slicing + batched dispatch + uint8/f16 readback +
+    # merge. This is the true per-page detector cost on the transfer
+    # path (stage A is device compute only), so the e2e composition
+    # below prefers it when measured.
+    det_page_dt = None
+    if os.environ.get("BENCH_PAGE", "1") != "0":
+        pipe.run_detector(img)      # warm: compiles the page-shape graph
+        det_page_dt, _ = best_of(lambda: pipe.run_detector(img))
+    det_component = (det_page_dt if det_page_dt is not None
+                     else n_tiles / det_tiles_per_sec)
+
     # ---- stage D: static-int8 detector artifact -------------------------
     # per-channel int8 weights (reference head exclusions) + boundary
     # QDQ; reports throughput and the accuracy delta vs the bf16 path
@@ -297,7 +310,7 @@ def main():
             lambda: pipe.decode_windows(dstream, dwindows))
         dasm_dt, _ = best_of(lambda: pipe.assemble(dlocs, dfidx, dwindows,
                                                    dtexts))
-        ddevice = n_tiles / det_tiles_per_sec + ddecode_dt
+        ddevice = det_component + ddecode_dt
         dhost = dfilter_dt + dline_dt + dhost_dt + dasm_dt
         dense_stats = {
             "dense_tiles_per_sec": round(
@@ -330,7 +343,7 @@ def main():
     # in sequence; pipelined = ocr_pages' steady state, where host stages
     # of page N overlap device work of page N+1 (async dispatch + GIL
     # release), so a page costs max(device, host) wall-clock.
-    device_dt = n_tiles / det_tiles_per_sec + decode_dt
+    device_dt = det_component + decode_dt
     host_total = filter_dt + line_dt + host_dt + asm_dt
     serial = n_tiles / (device_dt + host_total)
     pipelined = n_tiles / max(device_dt, host_total)
@@ -342,6 +355,8 @@ def main():
         "vs_baseline": round(pipelined / BASELINE_TILES_PER_SEC, 3),
         "serial_tiles_per_sec": round(serial, 3),
         "detector_tiles_per_sec": round(det_tiles_per_sec, 3),
+        **({"detector_page_ms": round(det_page_dt * 1e3, 1)}
+           if det_page_dt is not None else {}),
         "page_tiles": n_tiles,
         "page_boxes": int(len(locs)),
         "decode_windows": len(windows),
