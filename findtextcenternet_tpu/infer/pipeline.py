@@ -504,6 +504,22 @@ class OCRPipeline:
     # stage 1: tiled detection
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _fetch_peaks(peaks) -> Dict[str, np.ndarray]:
+        """Read a device peaks dict back, slicing the dominant f16
+        feature buffer to the valid rows first. Valid peaks are a
+        score-sorted prefix (ownership masking precedes top_k in
+        extract_peaks), so only the live rows need to cross the device
+        link; kmax rounds up to a multiple of 64 to bound the number of
+        compiled slice shapes."""
+        feat_dev = peaks["feature"]
+        out = {k: np.asarray(v) for k, v in peaks.items()
+               if k != "feature"}
+        kmax = int(out["valid"].sum(axis=1).max())
+        kmax = min(feat_dev.shape[1], (max(kmax, 1) + 63) // 64 * 64)
+        out["feature"] = np.asarray(feat_dev[:, :kmax])
+        return out
+
     def run_detector(self, img: np.ndarray,
                      twopass: bool = False) -> DetectedPage:
         ic = self.cfg.inference
@@ -546,7 +562,7 @@ class OCRPipeline:
             peaks, _ = self._detect(self.det_vars,
                                     jnp.asarray(np.stack(chunk)),
                                     jnp.asarray(np.stack(masks1)))
-            peaks = {k: np.asarray(v) for k, v in peaks.items()}
+            peaks = self._fetch_peaks(peaks)
             for pi in np.where(peaks["valid"][0])[0]:
                 w0 = float(peaks["w"][0, pi]) * s
                 h0 = float(peaks["h"][0, pi]) * s
@@ -603,7 +619,7 @@ class OCRPipeline:
                 jnp.asarray(np.stack(cmask)))))
 
         for i0, n, (peaks, maps) in pending:
-            peaks = {k: np.asarray(v) for k, v in peaks.items()}
+            peaks = self._fetch_peaks(peaks)
             maps = {k: np.asarray(v).astype(np.float32) / 255.0
                     for k, v in maps.items()}
 
