@@ -29,3 +29,22 @@ def test_extract_peaks_backends_agree(rng):
     # scores sorted descending
     s = np.asarray(a["score"])
     assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+def test_valid_peaks_are_a_sorted_prefix(rng):
+    """OCRPipeline._fetch_peaks slices the feature readback to the valid
+    rows, which is only safe because ownership masking happens BEFORE
+    top_k: scores sort descending, so `valid = score >= threshold` must
+    be a prefix of every row. Pin the invariant."""
+    heat = jnp.asarray(
+        rng.standard_normal((3, 24, 24, 9)).astype(np.float32))
+    feats = jnp.asarray(
+        rng.standard_normal((3, 24, 24, 4)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=(3, 24, 24)) > 0.5)
+    p = extract_peaks(heat, feats, max_peaks=32, threshold=0.4,
+                      region_mask=mask, use_pallas=False)
+    valid = np.asarray(p["valid"])
+    assert valid.any() and not valid.all()
+    counts = valid.sum(axis=1)
+    for b in range(valid.shape[0]):
+        assert valid[b, :counts[b]].all() and not valid[b, counts[b]:].any()
