@@ -555,13 +555,16 @@ class OCRPipeline:
             im1 = np.pad(im1, [[0, p1y], [0, p1x], [0, 0]],
                          constant_values=255)
             B = ic.detector_batch
-            chunk = [im1]                                   # uint8
-            chunk += [np.zeros_like(chunk[0])] * (B - 1)
             ms1 = tile // SCALE
-            masks1 = [np.ones((ms1, ms1), bool)] +                 [np.zeros((ms1, ms1), bool)] * (B - 1)
-            peaks, _ = self._detect(self.det_vars,
-                                    jnp.asarray(np.stack(chunk)),
-                                    jnp.asarray(np.stack(masks1)))
+            masks1 = [np.ones((ms1, ms1), bool)] + \
+                [np.zeros((ms1, ms1), bool)] * (B - 1)
+            # reuse _detect_page with all offsets at 0 on the tile-sized
+            # pre-pass image: uploads one tile instead of a B-tile chunk
+            # of which B-1 were zero padding
+            peaks, _ = self._detect_page(
+                self.det_vars, jnp.asarray(im1),
+                jnp.zeros((B, 2), jnp.int32),
+                jnp.asarray(np.stack(masks1)))
             peaks = self._fetch_peaks(peaks)
             for pi in np.where(peaks["valid"][0])[0]:
                 w0 = float(peaks["w"][0, pi]) * s
