@@ -374,12 +374,8 @@ def rig():
     return ref_base, detect_jit, decode_jit, pipe
 
 
-@pytest.mark.parametrize("page_fn", [page_single_tile, page_two_tiles,
-                                     page_vertical, page_ruby,
-                                     page_spaces])
-def test_pipeline_differential(rig, page_fn, tmp_path, monkeypatch):
+def _assert_differential(rig, page, tmp_path, monkeypatch):
     ref_base, detect_jit, decode_jit, pipe = rig
-    page = page_fn()
     img = page.render()
 
     oracle = make_oracle(ref_base, detect_jit, decode_jit)
@@ -434,3 +430,40 @@ def test_pipeline_differential(rig, page_fn, tmp_path, monkeypatch):
     got = {c for c in mine["text"] if c not in "\n"}
     want = {chr(cp) for _, _, _, _, cp, _ in page.chars}
     assert want <= got, want - got
+
+
+@pytest.mark.parametrize("page_fn", [page_single_tile, page_two_tiles,
+                                     page_vertical, page_ruby,
+                                     page_spaces])
+def test_pipeline_differential(rig, page_fn, tmp_path, monkeypatch):
+    _assert_differential(rig, page_fn(), tmp_path, monkeypatch)
+
+
+def page_random(seed: int):
+    """Randomized layout: 1-2 blocks of horizontal lines with varied
+    sizes/pitches/gaps, an optional vertical column — stresses the
+    window cut rules, keep_back dedup and block ordering on geometry no
+    hand-written fixture picked."""
+    rng = np.random.default_rng(seed)
+    w = int(rng.choice([768, 1000, 1180]))
+    p = FakePage(w, 768)
+    cp = 0x4E00
+    y = 92 + 4 * int(rng.integers(0, 10))        # FakePage is 4px-aligned
+    for _ in range(int(rng.integers(3, 6))):
+        size = 4 * int(rng.integers(7, 11))
+        n_max = (w - 160) // int(size * 1.3)
+        if y + size > 620 or n_max < 5:
+            break
+        n = int(rng.integers(5, min(18, n_max)))
+        text = "".join(chr(cp + i) for i in range(n))
+        cp += n
+        p.hline(80, y, n, size, text=text)
+        y += size + 4 * int(rng.integers(10, 38))
+    if rng.uniform() < 0.5:
+        p.vline(w - 92, 100, int(rng.integers(5, 9)), 36)
+    return p
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_pipeline_differential_random(rig, seed, tmp_path, monkeypatch):
+    _assert_differential(rig, page_random(seed), tmp_path, monkeypatch)
