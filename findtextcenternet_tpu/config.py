@@ -97,6 +97,13 @@ class InferenceConfig:
     # production size is kernel-launch-bound, not matmul-bound (78 ms
     # for 4x400-token windows either way), so f32 default costs nothing
     decode_dtype: str = "float32"
+    # page maps (line/seps/codes) ship device->host as uint8 (4x less
+    # transfer; 1/255 resolution sits far below every downstream
+    # threshold on real detector output). False ships f32 — used by the
+    # differential parity gate's bulk stress, where synthetic pages can
+    # land exactly on engine thresholds and the quantization delta
+    # (not a logic difference) would flip knife-edge comparisons
+    quantize_maps: bool = True
 
 
 @dataclass(frozen=True)

@@ -271,6 +271,8 @@ class OCRPipeline:
             # downstream threshold)
             def q8(x):
                 p = jax.nn.sigmoid(x.astype(jnp.float32))
+                if not ic.quantize_maps:
+                    return p
                 return jnp.round(p * 255).astype(jnp.uint8)
 
             # only the maps the host consumes ship back: line/seps feed
@@ -623,8 +625,10 @@ class OCRPipeline:
 
         for i0, n, (peaks, maps) in pending:
             peaks = self._fetch_peaks(peaks)
-            maps = {k: np.asarray(v).astype(np.float32) / 255.0
-                    for k, v in maps.items()}
+            fetched = {k: np.asarray(v) for k, v in maps.items()}
+            maps = {k: (v.astype(np.float32) / 255.0
+                        if v.dtype == np.uint8 else v)
+                    for k, v in fetched.items()}
 
             for bi in range(n):
                 x, y = offs[i0 + bi]
