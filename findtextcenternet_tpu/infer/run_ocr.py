@@ -112,6 +112,26 @@ def main(argv=None):
     pipeline = build_pipeline(model_size, model_pt, model3_pt,
                               random_weights, onnx_dir=onnx_dir)
 
+    if len(files) > 1:
+        # multi-page runs pipeline host stages of page N against device
+        # work of page N+1 (ocr_pages' threaded software pipeline)
+        import json as _json
+
+        import numpy as np
+        from PIL import Image as PILImage
+
+        from .pipeline import ocr_pages
+        images = [np.asarray(PILImage.open(f).convert("RGB"))
+                  for f in files]
+        outs = ocr_pages(pipeline, images, resize=resize,
+                         twopass=twopass)
+        for f, out in zip(files, outs):
+            with open(f + ".json", "w", encoding="utf-8") as fp:
+                _json.dump(out, fp, ensure_ascii=False, indent=1)
+            print(f"== {f}")
+            print(decode_ruby(out["text"], "aozora"))
+        return 0
+
     for f in files:
         print(f"== {f}")
         out = ocr_file(f, pipeline, resize, twopass=twopass)
