@@ -303,9 +303,10 @@ def make_shards(out_pattern: str, count: int, generator: PageGenerator,
     with ShardWriter(out_pattern, samples_per_shard) as w:
         if processes and processes > 1:
             import multiprocessing as mp
+            base = int(generator.rng.integers(2 ** 63))
             with mp.get_context("fork").Pool(processes) as pool:
                 for s in pool.imap_unordered(_render_worker,
-                                             [(generator, i)
+                                             [(generator, base, i)
                                               for i in range(count)]):
                     if s is not None:
                         w.write(s)
@@ -316,8 +317,12 @@ def make_shards(out_pattern: str, count: int, generator: PageGenerator,
 
 
 def _render_worker(args):
-    generator, i = args
+    generator, base, i = args
     try:
+        # every task pickles the generator with the parent's UNTOUCHED
+        # rng state — without a per-task reseed all `count` pages would
+        # replay the identical random sequence
+        generator.rng = np.random.default_rng([base, i])
         page = generator.generate()
         return {
             "__key__": f"{i:08d}",

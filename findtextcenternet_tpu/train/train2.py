@@ -47,11 +47,25 @@ def train(fixdata_dir, shards=(), config=None, init_from=None,
         {"params": state.params, "batch_stats": state.batch_stats},
         tx, num_cov_losses=9)
 
-    src = init_from or tc.checkpoint_dir
-    latest = ckpt.latest_checkpoint(src)
-    if latest:
-        state = ckpt.restore_checkpoint(latest, state)
-        print(f"initialized from {latest}")
+    # resuming OUR OWN dir restores the full state (matching RAdam
+    # tree); --init-from a stage-1 run loads weights only — the stage-1
+    # checkpoint stores schedule-free AdamW opt state, which does not
+    # match (and must not seed) the stage-2 RAdam tree. The reference
+    # equivalently loads only result1/model.pt's eval'd weights
+    # (`/root/reference/train2.py:99-101`).
+    own = ckpt.latest_checkpoint(tc.checkpoint_dir)
+    if own:
+        state = ckpt.restore_checkpoint(own, state)
+        print(f"resumed from {own}")
+    elif init_from:
+        latest = ckpt.latest_checkpoint(init_from)
+        if latest:
+            eval_params, batch_stats = ckpt.load_eval_params(latest)
+            state = state.replace(
+                params=eval_params,
+                batch_stats=batch_stats
+                if batch_stats else state.batch_stats)
+            print(f"initialized weights from {latest}")
 
     fmask_k = config.detector.fmask_topk_per_sample
     # per-source gradient scaling + optional detector freeze, like the

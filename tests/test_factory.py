@@ -213,3 +213,22 @@ def test_generator_new_kinds():
     # korean falls back to a char page without hangul coverage (DejaVu)
     kr = gen.generate(kind="korean")
     assert len(kr["position"]) > 10
+
+
+def test_make_shards_multiprocess_pages_differ(tmp_path):
+    """Pool workers receive the generator with the parent's untouched
+    rng state; without the per-task reseed every page would replay the
+    identical random sequence."""
+    from findtextcenternet_tpu.data.shards import iter_tar_samples
+    gen = PageGenerator(FONTS, width=400, height=400, charset=ASCII,
+                        seed=1)
+    paths = make_shards(str(tmp_path / "mp%05d.tar"), 4, gen,
+                        samples_per_shard=4, processes=2)
+    samples = sorted(
+        (s for p in paths for s in iter_tar_samples(p)),
+        key=lambda s: s["__key__"])
+    assert len(samples) == 4
+    imgs = [s["image.png"] for s in samples]
+    texts = [s["txt"] for s in samples]
+    distinct = {(t, im.tobytes()) for t, im in zip(texts, imgs)}
+    assert len(distinct) > 1, "all multiprocess pages identical"

@@ -103,3 +103,38 @@ def test_train2_driver_end_to_end(tmp_path, shards):
     state = train2(str(fx), shards=shards, config=cfg, steps_per_epoch=2,
                    num_workers=1, mesh=mesh, decoder_only=False)
     assert int(state.step) == 4  # 2 fix + 2 stream steps
+
+
+@pytest.mark.slow
+def test_train2_init_from_stage1_checkpoint(tmp_path, shards):
+    """--init-from a stage-1 run loads weights only: the stage-1
+    checkpoint carries schedule-free AdamW opt state, which must not be
+    forced into (or crash against) stage-2's RAdam tree."""
+    import json
+    from PIL import Image
+    from findtextcenternet_tpu.parallel import make_mesh
+    from findtextcenternet_tpu.train import checkpoint as ckpt
+    from findtextcenternet_tpu.train.train1 import build_detector_state
+    from findtextcenternet_tpu.train.train2 import train as train2
+
+    cfg = _tiny_cfg(tmp_path, "r2init")
+    mesh = make_mesh(n_data=2, n_model=1)
+    _, s1 = build_detector_state(cfg, mesh, seed=0)
+    stage1_dir = str(tmp_path / "r1")
+    ckpt.save_checkpoint(stage1_dir, s1, cfg)
+
+    fx = tmp_path / "fixdata2"
+    fx.mkdir()
+    img = np.full((200, 200), 255, np.uint8)
+    img[80:120, 40:80] = 0
+    Image.fromarray(img).convert("L").save(fx / "page.png")
+    with open(fx / "page.json", "w", encoding="utf-8") as f:
+        json.dump({"textbox": [
+            {"cx": 60, "cy": 100, "w": 40, "h": 40, "text": "A",
+             "p_code1": 0, "p_code2": 0, "p_code4": 0, "p_code8": 0},
+        ]}, f)
+
+    state = train2(str(fx), shards=None, config=cfg, steps_per_epoch=1,
+                   num_workers=1, mesh=mesh, decoder_only=False,
+                   init_from=stage1_dir)
+    assert int(state.step) == 1
