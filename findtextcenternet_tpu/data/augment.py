@@ -214,6 +214,8 @@ def transform_crop(
     scale: int = SCALE,
     return_positions: bool = False,
     backend: str = "auto",
+    strong: bool = True,
+    invert: bool = True,
 ):
     """Random affine + crop; returns (image[h,w] f32 in [0,1],
     labelmap (h/s, w/s, 5), idmap (h/s, w/s, 2), minsize) and, when
@@ -221,8 +223,13 @@ def transform_crop(
     coordinates as a fifth element.
 
     backend: 'auto' uses the native C++ kernels when built, else numpy.
+    ``strong=False, invert=False`` is the milder stage-2 law (the
+    reference's transform_crop2: 1-degree rotation sigma, mild aspect,
+    no partial inversion — `/root/reference/dataset/processer.pyx:
+    497-520` vs the stage-1 transform_crop).
     """
-    params = sample_params(image, position, rng, out_hw)
+    params = sample_params(image, position, rng, out_hw, strong=strong,
+                           invert=invert)
     if backend in ("auto", "native"):
         from .augment_native import apply_transform_native, native_available
         if native_available():
@@ -301,6 +308,11 @@ def colorize_double(im: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     h, w = im.shape
     fg1 = rng.uniform(size=3)
     fg2 = rng.uniform(size=3)
+    # fg2 is conditioned onto fg1's side of 0.5 per channel
+    # (`/root/reference/dataset/processer.pyx:817-830`) so the two
+    # foregrounds never straddle the midpoint — otherwise the background
+    # could land within <0.5 contrast of one of them
+    fg2 = np.where(fg1 > 0.5, fg2 * 0.5 + 0.5, fg2 * 0.5)
     top = int(rng.uniform() * (h - 1))
     bottom = int(rng.uniform() * (h - top)) + top
     left = int(rng.uniform() * (w - 1))
@@ -344,13 +356,18 @@ def colorize_background(im: np.ndarray, bgimg: np.ndarray,
 
 def colorize(im: np.ndarray, rng: np.random.Generator,
              bgimg: Optional[np.ndarray] = None) -> np.ndarray:
-    """Random colorizer choice (mirrors transforms3's weighting)."""
-    r = rng.uniform()
-    if bgimg is not None and r < 0.25:
-        return colorize_background(im, bgimg, rng)
-    if r < 0.5:
+    """Random colorizer choice, mirroring transforms3's nested branch
+    weights (`/root/reference/dataset/data_detector.py:48-57`): photo
+    background 0.30, mono 0.35, single 0.175, double 0.175. Without a
+    photo corpus the background share falls to mono (a solid page, the
+    closest analog)."""
+    if rng.uniform() < 0.3:
+        if bgimg is not None:
+            return colorize_background(im, bgimg, rng)
         return colorize_mono(im, rng)
-    if r < 0.75:
+    if rng.uniform() < 0.5:
+        return colorize_mono(im, rng)
+    if rng.uniform() < 0.5:
         return colorize_single(im, rng)
     return colorize_double(im, rng)
 
@@ -471,14 +488,20 @@ def process_sample(sample: Dict[str, np.ndarray], rng: np.random.Generator,
     """
     oh, ow = out_hw
     if rng.uniform() < blank_prob:
-        return {
-            "image": np.zeros((oh, ow, 3), np.float32),
-            "labelmap": np.zeros((oh // SCALE, ow // SCALE, 5), np.float32),
-            "idmap": np.zeros((oh // SCALE, ow // SCALE, 2), np.int32),
-        }
-    img, labelmap, idmap, minsize = transform_crop(
-        sample["image"], sample["textline"], sample["sepline"],
-        sample["position"], sample["code_list"], rng, out_hw=out_hw)
+        # blank negatives keep zero targets but still flow through the
+        # colorize/distortion pipeline (the reference's process()
+        # returns a zero-ink image with minsize=0 and transforms3 runs
+        # unconditionally, `processer.pyx:666-670` +
+        # `data_detector.py:44-58`) — so the detector sees random
+        # colored empty pages, not pure black
+        img = np.zeros((oh, ow), np.float32)
+        labelmap = np.zeros((oh // SCALE, ow // SCALE, 5), np.float32)
+        idmap = np.zeros((oh // SCALE, ow // SCALE, 2), np.int32)
+        minsize = 0.0
+    else:
+        img, labelmap, idmap, minsize = transform_crop(
+            sample["image"], sample["textline"], sample["sepline"],
+            sample["position"], sample["code_list"], rng, out_hw=out_hw)
     if rng.random() < 0.2:
         img = random_salt(img, minsize, rng, prob=0.2 * rng.random())
     rgb = colorize(img, rng, sample.get("background"))

@@ -110,9 +110,13 @@ class FixDataLoader:
             for _ in range(self.batch_size):
                 item = self.items[int(self.rng.integers(len(self.items)))]
                 kw = {"out_hw": self.out_hw} if self.out_hw else {}
+                # the milder stage-2 affine, no partial inversion
+                # (reference process2 -> transform_crop2,
+                # `/root/reference/dataset/processer.pyx:497-520,884`)
                 img, labelmap, idmap, _ = transform_crop(
                     item["image"], item["textline"], item["sepline"],
-                    item["position"], item["code_list"], self.rng, **kw)
+                    item["position"], item["code_list"], self.rng,
+                    strong=False, invert=False, **kw)
                 rgb = colorize(img, self.rng)
                 # stage-2 applies ColorJitter(0.5 x4) per sample
                 # (/root/reference/train2.py:30,193-204)

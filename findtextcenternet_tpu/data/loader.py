@@ -57,9 +57,15 @@ def _worker(shard_queue: mp.Queue, out_queue: mp.Queue, seed: int,
                                   if out_hw else process_sample(item, rng))
         except Exception as e:  # keep the pipeline alive on bad shards
             out_queue.put({"__error__": repr(e), "__shard__": str(shard)})
-    for item in buf:
-        out_queue.put(process_sample(item, rng, out_hw=out_hw)
-                      if out_hw else process_sample(item, rng))
+    # the tail flush must not be able to kill the worker before _STOP is
+    # enqueued — one bad buffered sample would leave the consumer
+    # blocked forever on a stop count that never completes
+    try:
+        for item in buf:
+            out_queue.put(process_sample(item, rng, out_hw=out_hw)
+                          if out_hw else process_sample(item, rng))
+    except Exception as e:
+        out_queue.put({"__error__": repr(e), "__shard__": "<tail-buffer>"})
     out_queue.put(_STOP)
 
 

@@ -33,7 +33,13 @@ def paint_center(center: np.ndarray, cx: float, cy: float,
     fh = max(h / scale / 2, 1.0)
     k = int(max(fw * 1.5, fh * 1.5))
     sx, sy = fw / 4, fh / 4
-    xi, yi = int(round(cxs)), int(round(cys))
+    # half-away-from-zero like the native kernel's std::lround and the
+    # reference's roundf — python round() is banker's (half-to-even)
+    # and would shift the center a whole pixel on exact half-pixels
+    def _lround(v):
+        return int(np.floor(v + 0.5)) if v >= 0 else -int(np.floor(-v + 0.5))
+
+    xi, yi = _lround(cxs), _lround(cys)
 
     ax = np.arange(2 * k + 1, dtype=np.float32) - k
     gx = np.exp(-0.5 * ax * ax / (sx * sx))

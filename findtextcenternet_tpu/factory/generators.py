@@ -16,7 +16,8 @@ from .charpools import (
     EN_WORDS_SEED, JP_WORDS_SEED, build_kanji_tiers, build_wordlist,
     weighted_char_sampler)
 from .layout import Canvas
-from .rasterizer import GlyphRasterizer, find_fonts
+from .rasterizer import (GlyphRasterizer, cached_rasterizer,
+                         find_fonts)
 
 # character pools (extended by the caller's corpus / font coverage)
 HIRAGANA = "".join(chr(c) for c in range(0x3041, 0x3097))
@@ -57,7 +58,7 @@ class PageGenerator:
 
     def _rast(self, size: int, bold=False, italic=False) -> GlyphRasterizer:
         path = self.fonts[int(self.rng.integers(len(self.fonts)))]
-        return GlyphRasterizer(path, size, bold=bold, italic=italic)
+        return cached_rasterizer(path, size, bold=bold, italic=italic)
 
     def _chars_for(self, rast: GlyphRasterizer) -> str:
         """Characters the chosen font can actually render."""
@@ -176,8 +177,8 @@ class PageGenerator:
         bold = rng.uniform() < 0.1
         italic = rng.uniform() < 0.1
         rast = self._rast(size, bold, italic)
-        ruby_rast = GlyphRasterizer(rast.font_path, max(8, size // 2),
-                                    bold=bold, italic=italic)
+        ruby_rast = cached_rasterizer(rast.font_path, max(8, size // 2),
+                                      bold=bold, italic=italic)
         chars = self._chars_for(rast)
         vertical = rng.uniform() < 0.4
 

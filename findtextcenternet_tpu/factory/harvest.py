@@ -32,10 +32,13 @@ class FeatureHarvester:
     def harvest_page(self) -> int:
         """Render + detect + match one page; returns matched box count."""
         page = self.generator.generate()
+        # strong affine but NO partial inversion, like the harvester's
+        # processer3 transform (`/root/reference/make_traindata/
+        # processer3.pyx:98-120` has no inverse_partial)
         img, labelmap, idmap, _, gt_pos = transform_crop(
             page["image"], page["textline"], page["sepline"],
             page["position"], page["code_list"], self.rng,
-            return_positions=True)
+            return_positions=True, invert=False)
         rgb = (colorize(img, self.rng) * 255).astype(np.uint8)
 
         det = self.pipeline.run_detector(rgb)

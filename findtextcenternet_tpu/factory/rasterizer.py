@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import ctypes
 import dataclasses
+import functools as _functools
 import os
 import subprocess
 from typing import Dict, Optional, Tuple
@@ -90,6 +91,7 @@ class GlyphRasterizer:
         self._cache: Dict[Tuple[str, bool], Optional[Glyph]] = {}
         self._native = None
         self._ascent_px = 0.0
+        self._lib = None
         if use_native and os.path.exists(RASTER_LIB):
             try:
                 lib = _load_rast_lib()
@@ -97,6 +99,7 @@ class GlyphRasterizer:
                                   int(bold), int(italic), 0)
                 if h:
                     self._native = h
+                    self._lib = lib
                     upem = lib.rast_units_per_em(h)
                     # ceil like PIL/FreeType's rounded face metrics so
                     # offsets line up with PIL-rendered text
@@ -104,6 +107,16 @@ class GlyphRasterizer:
                         lib.rast_ascent(h) * size / upem))
             except Exception:
                 self._native = None
+
+    def __del__(self):
+        h = getattr(self, "_native", None)
+        self._native = None
+        lib = getattr(self, "_lib", None)
+        if h and lib is not None:
+            try:
+                lib.rast_close(h)
+            except Exception:
+                pass
 
     _cmap = None
 
@@ -220,6 +233,15 @@ DEFAULT_FONT_DIRS = (
     "/usr/share/fonts",
     os.path.expanduser("~/.fonts"),
 )
+
+
+@_functools.lru_cache(maxsize=64)
+def cached_rasterizer(path: str, size: int, bold: bool = False,
+                      italic: bool = False) -> "GlyphRasterizer":
+    """LRU-shared rasterizers: page generation picks a (font, size) per
+    page, and re-opening means re-parsing a multi-MB CJK font and
+    holding a fresh native handle — the cache bounds both."""
+    return GlyphRasterizer(path, size, bold=bold, italic=italic)
 
 
 def find_fonts(extra_dirs=()) -> list:

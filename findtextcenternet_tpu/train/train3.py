@@ -101,6 +101,9 @@ def train(features_npz=None, text_files=(), config=None,
     train_step = jax.jit(
         lambda s, b: transformer_train_step(s, b, dropout_seed=tc.seed))
     eval_step = jax.jit(transformer_eval_step)
+    # one jitted decode for the whole run — a fresh lambda per epoch
+    # would miss the jit cache and re-trace the mask-predict loop
+    sample_decode = jax.jit(lambda p, e: mask_predict(model, p, e))
 
     logger = MetricLogger(f"{tc.checkpoint_dir}/logs")
     running = RunningMetrics()
@@ -139,9 +142,8 @@ def train(features_npz=None, text_files=(), config=None,
 
         # sample decode for qualitative tracking
         item = val_ds.sample()
-        codes, _ = jax.jit(lambda p, e: mask_predict(model, p, e))(
-            {"params": state.eval_params()},
-            item["encoder_input"][None])
+        codes, _ = sample_decode({"params": state.eval_params()},
+                                 item["encoder_input"][None])
         pred = codes_to_text(np.asarray(codes)[0])
         logger.log_text(int(state.step), "sample",
                         f"true: {item['text']!r}\npred: {pred!r}")

@@ -80,7 +80,7 @@ def test_harvester_matching(tmp_path, monkeypatch):
     import findtextcenternet_tpu.factory.harvest as hv
 
     def fake_transform(image, textline, sepline, position, codelist, rng,
-                       return_positions=False):
+                       return_positions=False, **kw):
         img = image.astype(np.float32) / 255.0
         lm = np.zeros((image.shape[0] // 4, image.shape[1] // 4, 5),
                       np.float32)
