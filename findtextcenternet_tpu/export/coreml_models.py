@@ -128,6 +128,10 @@ class MilMapper:
         x = args[0]
         if len(args) > 2 and args[2] is not None:
             scales = np.asarray(args[2]).ravel()
+            # batch/channel must be untouched — a non-spatial scale
+            # would silently convert to a different function
+            assert float(scales[0]) == 1.0 and float(scales[1]) == 1.0, \
+                scales
             sh, sw = int(scales[2]), int(scales[3])
             assert float(sh) == float(scales[2]) and \
                 float(sw) == float(scales[3]), scales

@@ -56,10 +56,17 @@ class OnnxSession:
                 data, providers=["CPUExecutionProvider"])
             self._out_names = [o.name for o in self._sess.get_outputs()]
             self._eval = None
+            # current artifacts carry a symbolic batch dim; artifacts
+            # exported before that carry a literal 1 — loop per sample
+            # for those instead of crashing the session
+            self._fixed_batch1 = any(
+                (i.shape and i.shape[0] == 1)
+                for i in self._sess.get_inputs())
         else:
             from ..export.onnx_writer import OnnxEvaluator
             self._sess = None
             self._eval = OnnxEvaluator(data)
+            self._fixed_batch1 = False
 
     @property
     def backend(self) -> str:
@@ -68,6 +75,13 @@ class OnnxSession:
     def __call__(self, **feeds) -> Dict[str, np.ndarray]:
         feeds = {k: np.asarray(v) for k, v in feeds.items()}
         if self._sess is not None:
+            n = max(v.shape[0] for v in feeds.values())
+            if self._fixed_batch1 and n > 1:
+                per = [self._sess.run(None, {k: v[i:i + 1]
+                                             for k, v in feeds.items()})
+                       for i in range(n)]
+                return {name: np.concatenate([p[j] for p in per], axis=0)
+                        for j, name in enumerate(self._out_names)}
             outs = self._sess.run(None, feeds)
             return dict(zip(self._out_names, outs))
         return self._eval(**feeds)

@@ -533,8 +533,10 @@ class OCRPipeline:
             # happens on-device, keyed on the uint8 dtype) — coerce
             # float pages here instead of silently feeding the detector
             # unscaled values. Accept both float conventions: [0,1]
-            # (max <= 1) and 0..255.
-            scale = 255.0 if np.nanmax(img, initial=0.0) <= 1.0 else 1.0
+            # (max <= 1) and 0..255. NaNs map to 0 (astype(uint8) of
+            # NaN is undefined behavior).
+            img = np.nan_to_num(np.asarray(img, np.float32))
+            scale = 255.0 if img.max(initial=0.0) <= 1.0 else 1.0
             img = np.clip(np.round(img * scale), 0, 255).astype(np.uint8)
 
         padx = max(0, (tile - img.shape[1]) % step, tile - img.shape[1])

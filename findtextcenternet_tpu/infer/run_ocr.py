@@ -121,15 +121,21 @@ def main(argv=None):
         from PIL import Image as PILImage
 
         from .pipeline import ocr_pages
-        images = [np.asarray(PILImage.open(f).convert("RGB"))
-                  for f in files]
-        outs = ocr_pages(pipeline, images, resize=resize,
-                         twopass=twopass)
-        for f, out in zip(files, outs):
-            with open(f + ".json", "w", encoding="utf-8") as fp:
-                _json.dump(out, fp, ensure_ascii=False, indent=1)
-            print(f"== {f}")
-            print(decode_ruby(out["text"], "aozora"))
+        # bounded groups keep peak memory at a few decoded pages, not
+        # the whole book, while the software pipeline still overlaps
+        # pages within each group
+        group = 8
+        for g0 in range(0, len(files), group):
+            batch_files = files[g0:g0 + group]
+            images = [np.asarray(PILImage.open(f).convert("RGB"))
+                      for f in batch_files]
+            outs = ocr_pages(pipeline, images, resize=resize,
+                             twopass=twopass)
+            for f, out in zip(batch_files, outs):
+                with open(f + ".json", "w", encoding="utf-8") as fp:
+                    _json.dump(out, fp, ensure_ascii=False, indent=1)
+                print(f"== {f}")
+                print(decode_ruby(out["text"], "aozora"))
         return 0
 
     for f in files:

@@ -215,7 +215,7 @@ class DecoderBlock(nn.Module):
     def cross_kv(self, enc):
         return self.cross_attn.cross_kv(enc)
 
-    def _body(self, x, cross_fn, key_mask, train):
+    def _body(self, x, cross_fn, train):
         skip = x
         x = self.self_attn(x, train=train)
         x = self.drop(x, deterministic=not train)
@@ -232,7 +232,7 @@ class DecoderBlock(nn.Module):
     def __call__(self, x, enc, key_mask=None, train: bool = False):
         return self._body(
             x, lambda q: self.cross_attn(q, key=enc, key_mask=key_mask,
-                                         train=train), key_mask, train)
+                                         train=train), train)
 
     def call_cached(self, x, kh, vh, key_mask=None):
         """Decode with precomputed cross-attention K/V heads (inference
@@ -240,7 +240,7 @@ class DecoderBlock(nn.Module):
         return self._body(
             x, lambda q: self.cross_attn.attend(q, kh, vh,
                                                 key_mask=key_mask),
-            key_mask, False)
+            False)
 
 
 class Encoder(nn.Module):
