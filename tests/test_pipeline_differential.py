@@ -478,6 +478,23 @@ def page_random(seed: int):
         cp += n
         p.hline(80, y, n, size, text=text)
         y += size + safe_gap()
+    if rng.uniform() < 0.4 and y + 80 < 680:
+        # a randomized ruby line: base chars with 2 ruby glyphs each
+        # (exercises search_ruby + the ruby-boundary window cut on
+        # geometry the fixed fixture didn't pick)
+        n = int(rng.integers(3, 7))
+        bx0 = 80 + 4 * int(rng.integers(0, 6))
+        for i in range(n):
+            bx = bx0 + i * 56
+            if bx + 40 > w - 16:
+                break
+            p.add_char(bx, y + 40, 40, 40, cp, rubybase=1)
+            p.add_char(bx - 12, y + 4, 16, 16, 0x3041 + (cp % 80),
+                       ruby=1)
+            p.add_char(bx + 12, y + 4, 16, 16, 0x3041 + ((cp + 1) % 80),
+                       ruby=1)
+            cp += 1
+        p.add_hband(y + 40, bx0 - 24, bx0 + n * 56 + 24)
     if rng.uniform() < 0.5:
         p.vline(w - 92, 100, int(rng.integers(5, 9)), 36)
     return p
