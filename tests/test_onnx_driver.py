@@ -82,3 +82,38 @@ def test_onnx_pipeline_matches_live(tiny_cfg):
         np.testing.assert_allclose(a["cx"], b["cx"], atol=1e-2)
         np.testing.assert_allclose(a["cy"], b["cy"], atol=1e-2)
     assert out_onnx["aozora"] == out_live["aozora"]
+
+
+def test_onnx_pipeline_runs_with_qdq_detector(tiny_cfg):
+    """The static-int8 QDQ detector artifact drives the full from_onnx
+    pipeline (the reference's quantized-model serving path,
+    `/root/reference/quantize1_onnx.py` + `process_ocr_onnx.py`).
+    Quantization shifts heatmap values, so this pins structure and
+    execution, not text parity."""
+    if not lineengine.build_native():
+        pytest.skip("native line engine not buildable")
+    from findtextcenternet_tpu.export.onnx_models import (
+        emit_detector_qdq, emit_transformer_decoder,
+        emit_transformer_encoder)
+    from findtextcenternet_tpu.export.quantize import (
+        calibrate_detector_edges)
+
+    seed = OCRPipeline(tiny_cfg, model_size="tiny")
+    fdim = tiny_cfg.detector.feature_dim
+    tile = tiny_cfg.inference.tile_size
+    det = CenterNetDetection(model_size="tiny", feature_dim=fdim)
+    rng = np.random.default_rng(0)
+    batches = [np.asarray(rng.random((1, tile, tile, 3)), np.float32)
+               for _ in range(2)]
+    ranges = calibrate_detector_edges(det, seed.det_vars, batches)
+    np_det = jax.tree.map(np.asarray, seed.det_vars)
+    np_tf = jax.tree.map(np.asarray, seed.tf_vars)
+    qblob = emit_detector_qdq(np_det, ranges, "tiny", height=tile,
+                              width=tile, feature_dim=fdim)
+    enc = emit_transformer_encoder(np_tf, seed.transformer.dims)
+    dec = emit_transformer_decoder(np_tf, seed.transformer.dims)
+
+    pipe = OCRPipeline.from_onnx(qblob, enc, dec, tiny_cfg,
+                                 model_size="tiny")
+    out = pipe(_page())
+    assert set(out) >= {"box", "line", "block", "text"}
