@@ -97,6 +97,11 @@ class InferenceConfig:
     # production size is kernel-launch-bound, not matmul-bound (78 ms
     # for 4x400-token windows either way), so f32 default costs nothing
     decode_dtype: str = "float32"
+    # attention implementation for inference decode: "xla" is the
+    # einsum composition (scores round-trip HBM; exact-match anchor for
+    # the artifact drivers), "fused" the single-tile Pallas kernel
+    # (same math, scores stay in VMEM — see ops/attention.py)
+    decode_attention: str = "xla"
     # page maps (line/seps/codes) ship device->host as uint8 (4x less
     # transfer; 1/255 resolution sits far below every downstream
     # threshold on real detector output). False ships f32 — used by the

@@ -207,7 +207,8 @@ class OCRPipeline:
         # way; norms + residue logits always f32) — see
         # InferenceConfig.decode_dtype
         self.transformer = Transformer(
-            dims, dtype=jnp.dtype(config.inference.decode_dtype))
+            dims, dtype=jnp.dtype(config.inference.decode_dtype),
+            attn_impl=config.inference.decode_attention)
 
         key = jax.random.PRNGKey(seed)
         tile = config.inference.tile_size

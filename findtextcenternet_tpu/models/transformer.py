@@ -32,6 +32,7 @@ from ..const import (
     MAX_ENCODER_LEN,
     MODULO_LIST,
 )
+from ..ops import attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -105,6 +106,7 @@ class MultiheadAttn(nn.Module):
     max_seq_len: int = 5000
     key_max_seq_len: Optional[int] = None   # cross-attn key table length
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"                  # "xla" einsum | "fused" Pallas
 
     def setup(self):
         d = self.embed_dim
@@ -136,6 +138,15 @@ class MultiheadAttn(nn.Module):
         q = self._heads(self.q_proj(self.pos_emb_q(query)))
         b, tq = q.shape[0], q.shape[1]
         hd = self.embed_dim // self.num_heads
+        if (self.attn_impl == "fused" and not train
+                and attention.supported(tq, kh.shape[1], hd)
+                and (key_mask is None
+                     or (key_mask.ndim == 4 and key_mask.shape[1] == 1
+                         and key_mask.shape[2] == 1))):
+            # single-tile Pallas attention: scores never leave VMEM
+            # (inference only — the einsum path keeps dropout + autodiff)
+            out = attention.fused_attention(q, kh, vh, key_mask)
+            return self.out_proj(out.reshape(b, tq, self.embed_dim))
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, kh,
                             preferred_element_type=jnp.float32)
         logits = logits / jnp.sqrt(jnp.asarray(hd, dtype=logits.dtype))
@@ -170,6 +181,7 @@ class EncoderBlock(nn.Module):
     dropout: float = 0.1
     max_seq_len: int = 5000
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, key_mask=None, train: bool = False):
@@ -177,7 +189,8 @@ class EncoderBlock(nn.Module):
         # follow self.dtype, so bf16 inference keeps f32-stable statistics
         skip = x
         x = MultiheadAttn(self.embed_dim, self.num_heads, self.dropout,
-                          self.max_seq_len, dtype=self.dtype, name="mha")(
+                          self.max_seq_len, dtype=self.dtype,
+                          attn_impl=self.attn_impl, name="mha")(
             x, key_mask=key_mask, train=train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x + skip)
@@ -197,15 +210,18 @@ class DecoderBlock(nn.Module):
     max_seq_len: int = 5000
     enc_max_seq_len: Optional[int] = None
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"
 
     def setup(self):
         self.self_attn = MultiheadAttn(self.embed_dim, self.num_heads,
                                        self.dropout, self.max_seq_len,
-                                       dtype=self.dtype)
+                                       dtype=self.dtype,
+                                       attn_impl=self.attn_impl)
         self.cross_attn = MultiheadAttn(self.embed_dim, self.num_heads,
                                         self.dropout, self.max_seq_len,
                                         key_max_seq_len=self.enc_max_seq_len,
-                                        dtype=self.dtype)
+                                        dtype=self.dtype,
+                                        attn_impl=self.attn_impl)
         self.norm1 = nn.LayerNorm(dtype=jnp.float32)
         self.norm2 = nn.LayerNorm(dtype=jnp.float32)
         self.norm3 = nn.LayerNorm(dtype=jnp.float32)
@@ -246,6 +262,7 @@ class DecoderBlock(nn.Module):
 class Encoder(nn.Module):
     dims: TransformerDims
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, key_mask=None, train: bool = False):
@@ -259,6 +276,7 @@ class Encoder(nn.Module):
         for i in range(d.enc_block_num):
             x = EncoderBlock(d.embed_dim, d.head_num, d.dropout,
                              d.max_enc_seq_len, dtype=self.dtype,
+                             attn_impl=self.attn_impl,
                              name=f"block{i}")(
                 x, key_mask=key_mask, train=train)
         return x
@@ -267,6 +285,7 @@ class Encoder(nn.Module):
 class Decoder(nn.Module):
     dims: TransformerDims
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"
 
     def setup(self):
         d = self.dims
@@ -278,7 +297,8 @@ class Decoder(nn.Module):
         for i in range(d.dec_block_num):
             setattr(self, f"block{i}", DecoderBlock(
                 d.embed_dim, d.head_num, d.dropout, d.max_dec_seq_len,
-                enc_max_seq_len=d.max_enc_seq_len, dtype=self.dtype))
+                enc_max_seq_len=d.max_enc_seq_len, dtype=self.dtype,
+                attn_impl=self.attn_impl))
         for i, m in enumerate(MODULO_LIST):
             setattr(self, f"out{i}", nn.Dense(m, dtype=self.dtype))
 
@@ -331,13 +351,22 @@ class Transformer(nn.Module):
     """``dtype`` is the matmul compute dtype (params stay f32): f32
     matches the reference torch backend exactly; bf16 is the TPU analog
     of its fp16 ONNX/CoreML deployments (norms and residue logits stay
-    f32 either way). Wired to ``InferenceConfig.decode_dtype``."""
+    f32 either way). Wired to ``InferenceConfig.decode_dtype``.
+
+    ``attn_impl='fused'`` routes inference attention through the
+    single-tile Pallas kernel (:mod:`..ops.attention`) — same math,
+    scores never round-trip HBM; training always uses the einsum path
+    (dropout + autodiff). Wired to ``InferenceConfig.decode_attention``.
+    """
     dims: TransformerDims = TransformerDims()
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"
 
     def setup(self):
-        self.encoder = Encoder(self.dims, dtype=self.dtype)
-        self.decoder = Decoder(self.dims, dtype=self.dtype)
+        self.encoder = Encoder(self.dims, dtype=self.dtype,
+                               attn_impl=self.attn_impl)
+        self.decoder = Decoder(self.dims, dtype=self.dtype,
+                               attn_impl=self.attn_impl)
 
     def __call__(self, enc_input, dec_input, train: bool = False):
         key_mask = make_key_mask(enc_input)
@@ -363,6 +392,29 @@ class Transformer(nn.Module):
 # Mask-predict inference
 # ---------------------------------------------------------------------------
 
+def topk_descending(p: jnp.ndarray, k: int, impl: str = "sort"):
+    """Top-k (values, indices) along the last axis, descending, ties to
+    the lower index.
+
+    Bit-identical between impls (pinned by tests): ``"sort"`` is
+    ``jax.lax.top_k`` (XLA's TopK lowering); ``"argmax"`` runs k masked
+    argmax passes — pure VPU reductions with no sort network, a
+    measurement lever for the decode hot loop where k=3 and the axis is
+    a ~1100-wide CRT residue vocabulary (``tools/decode_bench``).
+    """
+    if impl == "sort":
+        return jax.lax.top_k(p, k)
+    iota = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
+    x = p
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(x, axis=-1)
+        vals.append(jnp.take_along_axis(x, i[..., None], axis=-1)[..., 0])
+        idxs.append(i)
+        x = jnp.where(iota == i[..., None], -jnp.inf, x)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def crt_combine_topk(logits: Sequence[jnp.ndarray], topk: int = 3):
     """Product-space CRT combine over per-modulus top-k candidates.
 
@@ -379,12 +431,14 @@ def crt_combine_topk(logits: Sequence[jnp.ndarray], topk: int = 3):
     return crt_combine_topk_probs(probs, topk)
 
 
-def crt_combine_topk_probs(probs: Sequence[jnp.ndarray], topk: int = 3):
+def crt_combine_topk_probs(probs: Sequence[jnp.ndarray], topk: int = 3,
+                           topk_impl: str = "sort"):
     """:func:`crt_combine_topk` over already-softmaxed probabilities
     (the form the exported decoder artifacts emit)."""
     tops = []
     for p in probs:
-        tp, ti = jax.lax.top_k(p.astype(jnp.float32), topk)  # (B, L, k)
+        tp, ti = topk_descending(p.astype(jnp.float32), topk,
+                                 impl=topk_impl)  # (B, L, k)
         tops.append((tp, ti))
 
     (p0, i0), (p1, i1), (p2, i2) = tops

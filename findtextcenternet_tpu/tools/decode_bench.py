@@ -33,11 +33,11 @@ import numpy as np
 DEFAULT_PEAK_TFLOPS = 197.0     # v5e bf16
 
 
-def build(dims, dtype):
+def build(dims, dtype, attn_impl="xla"):
     import jax
 
     from ..models.transformer import Transformer
-    model = Transformer(dims, dtype=dtype)
+    model = Transformer(dims, dtype=dtype, attn_impl=attn_impl)
     enc_in = np.zeros((1, dims.max_enc_seq_len, dims.enc_input_dim),
                       np.float32)
     tok = np.zeros((1, dims.max_dec_seq_len), np.int32)
@@ -122,6 +122,36 @@ def main(argv=None):
         a = np.asarray(hoisted(params, jnp.asarray(enc_in))[0])
         b = np.asarray(naive(params, jnp.asarray(enc_in))[0])
         results[f"{name}_paths_agree"] = bool((a == b).all())
+
+        # fused-attention lever: the Pallas single-tile kernel replaces
+        # the einsum score composition (same params, same math — scores
+        # never round-trip HBM; see ops/attention.py)
+        fused_model = Transformer(dims, dtype=dtype, attn_impl="fused")
+        fused = jax.jit(lambda p, e, m=fused_model: mask_predict(
+            m, p, e, max_rounds=args.rounds))
+        dt_f = timed(fused, params, jnp.asarray(enc_in), iters=args.iters)
+        results[f"{name}_fused_attn_ms"] = round(dt_f * 1e3, 1)
+        c = np.asarray(fused(params, jnp.asarray(enc_in))[0])
+        results[f"{name}_fused_attn_codes_agree"] = bool((a == c).all())
+
+    # top-k lever, isolated at the production per-round shape: XLA's
+    # sort-based TopK vs k masked argmax passes (bit-identical; see
+    # topk_descending) — 3 moduli per refinement round
+    from ..const import MODULO_LIST
+    from ..models.transformer import topk_descending
+    probs = [jnp.asarray(rng.random((args.batch, dims.max_dec_seq_len, m),
+                                    np.float32))
+             for m in (MODULO_LIST if not args.tiny else [7, 11, 13])]
+    for impl in ("sort", "argmax"):
+        f = jax.jit(lambda ps, impl=impl: [
+            topk_descending(p, 3, impl=impl) for p in ps])
+        dt_k = timed(lambda ps: f(ps)[0], probs, iters=args.iters)
+        results[f"topk3_{impl}_ms"] = round(dt_k * 1e3, 2)
+    s = f(probs)
+    g = jax.jit(lambda ps: [topk_descending(p, 3, "sort") for p in ps])(probs)
+    results["topk3_impls_agree"] = bool(all(
+        (np.asarray(a) == np.asarray(b)).all()
+        for (av, ai), (bv, bi) in zip(s, g) for a, b in ((av, bv), (ai, bi))))
 
     print(json.dumps({"batch": args.batch, "rounds": args.rounds,
                       **results}))
