@@ -338,6 +338,25 @@ def main():
             d16_dt, _ = best_of(
                 lambda: pipe16.decode_windows(dstream, dwindows))
             dense_stats["dense_decode_bf16_ms"] = round(d16_dt * 1e3, 1)
+        if os.environ.get("BENCH_DECODE_FUSED", "1") != "0":
+            # the fused (Pallas single-tile) attention decode variant:
+            # same math as the f32 default, scores never round-trip HBM
+            # (ops/attention.py) — measured at the dense load where the
+            # 16-window score tensors dominate attention HBM traffic
+            import dataclasses
+            cfgf = dataclasses.replace(
+                pipe.cfg, inference=dataclasses.replace(
+                    pipe.cfg.inference, decode_attention="fused"))
+            pipef = OCRPipeline(
+                cfgf, detector_variables=pipe.det_vars,
+                transformer_variables=pipe.tf_vars,
+                model_size=pipe.detector.model_size)
+            pipef.decode_windows(dstream, dwindows)
+            df_dt, dftexts = best_of(
+                lambda: pipef.decode_windows(dstream, dwindows))
+            dense_stats["dense_decode_fused_ms"] = round(df_dt * 1e3, 1)
+            dense_stats["dense_fused_texts_agree"] = bool(
+                dftexts == dtexts)
 
     # effective end-to-end throughput for this page. Serial = every stage
     # in sequence; pipelined = ocr_pages' steady state, where host stages
