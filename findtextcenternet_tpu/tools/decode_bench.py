@@ -71,6 +71,10 @@ def main(argv=None):
                     help="smoke config (CI / CPU)")
     ap.add_argument("--peak-tflops", type=float,
                     default=DEFAULT_PEAK_TFLOPS)
+    ap.add_argument("--trace", metavar="DIR", default=None,
+                    help="wrap the f32 hoisted run in a jax.profiler "
+                         "trace (op-level HBM/FLOP attribution for the "
+                         "dense-decode gap)")
     args = ap.parse_args(argv)
 
     import jax
@@ -98,6 +102,11 @@ def main(argv=None):
             m, p, e, max_rounds=args.rounds))
         dt = timed(hoisted, params, jnp.asarray(enc_in),
                    iters=args.iters)
+        if args.trace and name == "f32":
+            with jax.profiler.trace(args.trace):
+                out = hoisted(params, jnp.asarray(enc_in))
+                float(jnp.sum(out[0]))
+            results["trace_dir"] = args.trace
         comp = hoisted.lower(params, jnp.asarray(enc_in)).compile()
         flops = comp.cost_analysis().get("flops", 0.0)
         results[f"{name}_hoisted_ms"] = round(dt * 1e3, 1)
