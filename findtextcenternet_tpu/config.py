@@ -51,6 +51,10 @@ class TransformerConfig:
     max_enc_seq_len: int = const.MAX_ENCODER_LEN
     max_dec_seq_len: int = const.MAX_DECODER_LEN
     dropout: float = 0.0
+    # attention implementation for train3/eval model builds: "xla"
+    # einsum, or "fused" (Pallas single-tile, custom VJP — serves
+    # training only while dropout == 0.0, the reference's actual config)
+    attn_impl: str = "xla"
 
 
 @dataclass(frozen=True)

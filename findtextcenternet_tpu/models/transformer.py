@@ -138,13 +138,19 @@ class MultiheadAttn(nn.Module):
         q = self._heads(self.q_proj(self.pos_emb_q(query)))
         b, tq = q.shape[0], q.shape[1]
         hd = self.embed_dim // self.num_heads
-        if (self.attn_impl == "fused" and not train
+        if (self.attn_impl == "fused"
                 and attention.supported(tq, kh.shape[1], hd)
+                and (not train or (self.dropout == 0.0
+                                   and q.dtype == jnp.float32))
                 and (key_mask is None
                      or (key_mask.ndim == 4 and key_mask.shape[1] == 1
                          and key_mask.shape[2] == 1))):
-            # single-tile Pallas attention: scores never leave VMEM
-            # (inference only — the einsum path keeps dropout + autodiff)
+            # single-tile Pallas attention: scores never leave VMEM.
+            # Differentiable (custom VJP recomputes the softmax in
+            # VMEM); training routes here only with zero attention
+            # dropout — the reference's actual training configuration
+            # (`/root/reference/models/transformer.py:264` ModelDimensions
+            # dropout=0.0) — else the einsum path keeps dropout RNG
             out = attention.fused_attention(q, kh, vh, key_mask)
             return self.out_proj(out.reshape(b, tq, self.embed_dim))
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, kh,

@@ -87,6 +87,84 @@ def _fused_bhtd(q, k, v, mask, interpret: bool):
     )(q, k, v, mask)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, m_ref, g_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale: float):
+    """Single-tile backward: recompute the softmax in VMEM (cheaper than
+    storing 123 MB of attention weights per site), then the standard
+    attention VJP — all (Tq, Tk) intermediates stay on-chip."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    g = g_ref[0, 0]                                   # dOut (Tq, hd)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    scores = scores * scale + m_ref[0]
+    attn = jax.nn.softmax(scores, axis=-1)            # (Tq, Tk) f32
+    d_attn = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (Tq, Tk)
+    dv_ref[0, 0] = jax.lax.dot_general(
+        attn, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(v.dtype)
+    # softmax VJP: ds = a * (dA - sum(dA * a, axis=-1))
+    ds = attn * (d_attn
+                 - jnp.sum(d_attn * attn, axis=-1, keepdims=True))
+    dq_ref[0, 0] = (jnp.dot(
+        ds, k, preferred_element_type=jnp.float32)
+        * scale).astype(q.dtype)
+    dk_ref[0, 0] = (jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale).astype(k.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_bwd_bhtd(q, k, v, mask, g, interpret: bool):
+    b, h, tq, hd = q.shape
+    tk = k.shape[2]
+    scale = 1.0 / math.sqrt(hd)
+    tile = lambda t: pl.BlockSpec((1, 1, t, hd), lambda i, j: (i, j, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale),
+        grid=(b, h),
+        in_specs=[tile(tq), tile(tk), tile(tk),
+                  pl.BlockSpec((1, tk), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  tile(tq)],
+        out_specs=(tile(tq), tile(tk), tile(tk)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, tq, hd), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, tk, hd), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, tk, hd), v.dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * h * tq * tk * hd,
+            bytes_accessed=4 * (q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * tq * tk,
+        ),
+        interpret=interpret,
+    )(q, k, v, mask, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _attention_core(q, k, v, mask, interpret):
+    return _fused_bhtd(q, k, v, mask, interpret)
+
+
+def _attention_core_fwd(q, k, v, mask, interpret):
+    return _fused_bhtd(q, k, v, mask, interpret), (q, k, v, mask)
+
+
+def _attention_core_bwd(interpret, res, g):
+    q, k, v, mask = res
+    dq, dk, dv = _fused_bwd_bhtd(q, k, v, mask, g, interpret)
+    # the mask is produced by comparisons (make_key_mask) — its
+    # cotangent is structurally dead; zeros keeps custom_vjp's contract
+    return dq, dk, dv, jnp.zeros_like(mask)
+
+
+_attention_core.defvjp(_attention_core_fwd, _attention_core_bwd)
+
+
 def fused_attention(q, k, v, key_mask=None, interpret: bool | None = None):
     """Attention over per-head tensors in the model's (B, T, H, hd) layout.
 
@@ -113,5 +191,5 @@ def fused_attention(q, k, v, key_mask=None, interpret: bool | None = None):
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
-    out = _fused_bhtd(qt, kt, vt, mask, interpret)
+    out = _attention_core(qt, kt, vt, mask, interpret)
     return jnp.transpose(out, (0, 2, 1, 3))         # back to (B, Tq, H, hd)

@@ -63,6 +63,75 @@ def _total_flops(compiled) -> float:
     return float(ca.get("flops", 0.0))
 
 
+def _bench_transformer(args):
+    """train3's `transformer_train_step` at the production 400/400
+    shapes; the --attn-impl lever isolates the fused-attention win
+    (reference anchor: `/root/reference/train3.py:129-151`)."""
+    import dataclasses as dc
+    import time
+
+    import jax
+
+    from ..config import Config
+    from ..const import ENCODER_DIM, MAX_CODEPOINT
+    from ..train.steps import transformer_train_step
+    from ..train.train3 import build_transformer_state
+
+    cfg = Config()
+    tcfg = dc.replace(cfg.transformer, attn_impl=args.attn_impl)
+    if getattr(args, "tiny", False):
+        tcfg = dc.replace(tcfg, embed_dim=32, head_num=4,
+                          enc_block_num=1, dec_block_num=1,
+                          max_enc_seq_len=16, max_dec_seq_len=16)
+    cfg = dc.replace(cfg, transformer=tcfg)
+    model, state = build_transformer_state(cfg, mesh=None, seed=0)
+
+    t = cfg.transformer
+    rng = np.random.default_rng(0)
+    true = rng.integers(1, MAX_CODEPOINT,
+                        (args.batch, t.max_dec_seq_len)).astype(np.int64)
+    dec_in = np.where(rng.random(true.shape) < 0.5, 3, true)  # MSK=3
+    batch = {k: jax.device_put(v) for k, v in {
+        "encoder_input": rng.standard_normal(
+            (args.batch, t.max_enc_seq_len, ENCODER_DIM)
+        ).astype(np.float32),
+        "decoder_input": dec_in.astype(np.int32),
+        "decoder_true": true.astype(np.int32),
+    }.items()}
+
+    step = jax.jit(lambda s, b: transformer_train_step(s, b))
+    t0 = time.perf_counter()
+    compiled = step.lower(state, batch).compile()
+    compile_s = time.perf_counter() - t0
+    flops = _total_flops(compiled)
+
+    def sync(metrics):
+        return float(np.asarray(metrics["loss"], np.float32))
+
+    state, metrics = compiled(state, batch)
+    sync(metrics)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, metrics = compiled(state, batch)
+    sync(metrics)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    print(json.dumps({
+        "metric": "transformer_train_windows_per_sec",
+        "value": round(args.batch / dt, 2),
+        "unit": "windows/s",
+        "batch": args.batch,
+        "attn_impl": args.attn_impl,
+        "step_ms": round(dt * 1e3, 1),
+        "compile_s": round(compile_s, 1),
+        "scheduled_tflops_per_step": round(flops / 1e12, 2)
+        if flops else None,
+        "mfu_pct": round(100.0 * flops / dt
+                         / (args.peak_tflops * 1e12), 1) if flops else None,
+        "loss": sync(metrics),
+    }))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-size", default="xl")
@@ -81,6 +150,15 @@ def main(argv=None):
                     help="compile only: report FLOPs + compiled memory "
                          "footprint without executing (safe probe for "
                          "configs that might OOM the chip)")
+    ap.add_argument("--transformer", action="store_true",
+                    help="bench transformer_train_step (train3's step) "
+                         "instead of the detector step")
+    ap.add_argument("--attn-impl", default="xla",
+                    choices=["xla", "fused"],
+                    help="transformer attention implementation "
+                         "(fused = Pallas single-tile, custom VJP)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny transformer dims (CI / CPU smoke)")
     args = ap.parse_args(argv)
 
     import jax
@@ -89,6 +167,9 @@ def main(argv=None):
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    if args.transformer:
+        return _bench_transformer(args)
 
     from ..config import Config, DetectorConfig
     from ..train.steps import detector_train_step

@@ -29,7 +29,7 @@ def build_transformer_state(config, mesh=None, seed: int = 0,
         head_num=t.head_num, enc_block_num=t.enc_block_num,
         dec_block_num=t.dec_block_num, max_enc_seq_len=t.max_enc_seq_len,
         max_dec_seq_len=t.max_dec_seq_len, dropout=t.dropout)
-    model = Transformer(dims)
+    model = Transformer(dims, attn_impl=t.attn_impl)
     enc = jnp.zeros((1, dims.max_enc_seq_len, dims.enc_input_dim))
     dec = jnp.zeros((1, dims.max_dec_seq_len), jnp.int32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(seed), enc, dec)
@@ -183,6 +183,9 @@ def main(argv=None):
                 cfg.train, checkpoint_dir=a.split("=", 1)[1]))
         elif a.startswith("--steps-per-epoch="):
             kw["steps_per_epoch"] = int(a.split("=", 1)[1])
+        elif a.startswith("--attn-impl="):
+            cfg = dc.replace(cfg, transformer=dc.replace(
+                cfg.transformer, attn_impl=a.split("=", 1)[1]))
     train(config=cfg, **kw)
     return 0
 

@@ -118,6 +118,22 @@ def test_topk_descending_impls_bit_identical():
         np.testing.assert_array_equal(np.asarray(si), np.asarray(ai))
 
 
+def test_train_bench_transformer_tiny_smoke(capsys):
+    """train_bench --transformer runs both attention impls on CPU and
+    produces the same first-step loss (fused custom VJP consistency at
+    the train-step level)."""
+    import json
+    from findtextcenternet_tpu.tools import train_bench
+    losses = {}
+    for impl in ("xla", "fused"):
+        train_bench.main(["--transformer", "--tiny", "--batch", "2",
+                          "--iters", "1", "--attn-impl", impl])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        losses[impl] = out["loss"]
+    np.testing.assert_allclose(losses["xla"], losses["fused"],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_decode_bench_tiny_smoke(capsys):
     """The measurement tool itself keeps running on CPU (tiny config)."""
     from findtextcenternet_tpu.tools import decode_bench
@@ -129,26 +145,79 @@ def test_decode_bench_tiny_smoke(capsys):
     assert out["f32_fused_attn_codes_agree"]
 
 
-def test_train_path_ignores_fused():
-    """train=True must keep the einsum path (dropout + autodiff):
-    gradients exist and match the base module's."""
+def _train_grads(dims, attn_impl, enc_in, dec_in, params):
+    model = Transformer(dims, attn_impl=attn_impl)
+
+    def loss(p):
+        outs = model.apply(p, enc_in, dec_in, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(7)})
+        return sum(jnp.sum(o) for o in outs)
+
+    return jax.grad(loss)(params)
+
+
+def test_train_grads_match_fused_custom_vjp():
+    """With zero attention dropout (the reference's training config)
+    the fused path serves training too: custom-VJP gradients must match
+    the einsum autodiff within float tolerance."""
     dims = TransformerDims(enc_input_dim=12, embed_dim=16, head_num=2,
                            enc_block_num=1, dec_block_num=1,
                            max_enc_seq_len=16, max_dec_seq_len=16)
     rng = np.random.default_rng(3)
     enc_in = jnp.asarray(rng.standard_normal((1, 16, 12)), jnp.float32)
     dec_in = jnp.zeros((1, 16), jnp.int32)
-    base = Transformer(dims)
-    fused = Transformer(dims, attn_impl="fused")
-    params = base.init(jax.random.PRNGKey(0), enc_in, dec_in)
+    params = Transformer(dims).init(jax.random.PRNGKey(0), enc_in, dec_in)
+    g0 = _train_grads(dims, "xla", enc_in, dec_in, params)
+    g1 = _train_grads(dims, "fused", enc_in, dec_in, params)
+    # sum-loss amplifies f32 reassociation through the layernorm chain:
+    # observed worst |diff| ~1.5e-4 on ~27-magnitude grads (rel ~1e-5);
+    # the tight op-level check lives in
+    # test_fused_core_grads_match_einsum_directly
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3), g0, g1)
 
-    def loss(model, p):
-        outs = model.apply(p, enc_in, dec_in, train=True,
-                           rngs={"dropout": jax.random.PRNGKey(7)})
-        return sum(jnp.sum(o) for o in outs)
 
-    g0 = jax.grad(lambda p: loss(base, p))(params)
-    g1 = jax.grad(lambda p: loss(fused, p))(params)
+def test_train_dropout_keeps_einsum_path():
+    """Non-zero attention dropout must fall back to the einsum path —
+    gradients bit-identical to the base module under the same RNG."""
+    dims = TransformerDims(enc_input_dim=12, embed_dim=16, head_num=2,
+                           enc_block_num=1, dec_block_num=1,
+                           max_enc_seq_len=16, max_dec_seq_len=16,
+                           dropout=0.1)
+    rng = np.random.default_rng(4)
+    enc_in = jnp.asarray(rng.standard_normal((1, 16, 12)), jnp.float32)
+    dec_in = jnp.zeros((1, 16), jnp.int32)
+    params = Transformer(dims).init(jax.random.PRNGKey(0), enc_in, dec_in)
+    g0 = _train_grads(dims, "xla", enc_in, dec_in, params)
+    g1 = _train_grads(dims, "fused", enc_in, dec_in, params)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)), g0, g1)
+
+
+def test_fused_core_grads_match_einsum_directly():
+    """Op-level VJP check: d/d{q,k,v} of a scalar loss through
+    fused_attention equals autodiff through the einsum composition."""
+    rng = np.random.default_rng(6)
+    b, tq, tk, h, hd = 2, 16, 24, 2, 8
+    q = jnp.asarray(rng.standard_normal((b, tq, h, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, tk, h, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, tk, h, hd)), jnp.float32)
+    mask = jnp.where(jnp.arange(tk)[None, :] >= 20, -jnp.inf,
+                     0.0)[:, None, None, :]
+    mask = jnp.broadcast_to(mask, (b, 1, 1, tk))
+    w = jnp.asarray(rng.standard_normal((b, tq, h, hd)), jnp.float32)
+
+    def loss(fn, q, k, v):
+        return jnp.sum(fn(q, k, v, mask) * w)
+
+    g_fused = jax.grad(lambda *a: loss(
+        lambda q, k, v, m: fused_attention(q, k, v, key_mask=m),
+        *a), argnums=(0, 1, 2))(q, k, v)
+    g_ein = jax.grad(lambda *a: loss(
+        lambda q, k, v, m: _einsum_attention(q, k, v, key_mask=m),
+        *a), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_fused, g_ein):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
