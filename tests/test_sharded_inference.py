@@ -68,6 +68,26 @@ def test_sharded_pipeline_matches_single_device(tiny_cfg):
     assert out_sharded["aozora"] == out_single["aozora"]
 
 
+def test_sharded_pipeline_fused_attention(tiny_cfg):
+    """decode_attention='fused' (Pallas kernel) composes with the DP
+    mesh: the sharded-bucket decode reproduces the single-device fused
+    pipeline exactly."""
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    if not lineengine.build_native():
+        pytest.skip("native line engine not buildable")
+    cfg = dataclasses.replace(
+        tiny_cfg, inference=dataclasses.replace(
+            tiny_cfg.inference, decode_attention="fused"))
+    single = OCRPipeline(cfg, model_size="tiny")
+    sharded = OCRPipeline(cfg, detector_variables=single.det_vars,
+                          transformer_variables=single.tf_vars,
+                          model_size="tiny",
+                          mesh=make_mesh(n_data=8, n_model=1))
+    img = _page()
+    assert sharded(img)["text"] == single(img)["text"]
+
+
 def test_mesh_batch_divisibility_check(tiny_cfg):
     if jax.device_count() < 8:
         pytest.skip("needs the 8-device virtual mesh")
