@@ -104,18 +104,20 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, m_ref, g_ref,
     d_attn = jax.lax.dot_general(
         g, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)           # (Tq, Tk)
-    dv_ref[0, 0] = jax.lax.dot_general(
-        attn, g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(v.dtype)
+    # transposed contractions as explicit .T + plain dot — the pattern
+    # Mosaic is known to lower (same as jax's in-tree flash_attention
+    # backward); dimension-number (0,)x(0,) contractions are avoided
+    dv_ref[0, 0] = jax.lax.dot(
+        attn.T, g, preferred_element_type=jnp.float32).astype(v.dtype)
     # softmax VJP: ds = a * (dA - sum(dA * a, axis=-1))
     ds = attn * (d_attn
                  - jnp.sum(d_attn * attn, axis=-1, keepdims=True))
     dq_ref[0, 0] = (jnp.dot(
         ds, k, preferred_element_type=jnp.float32)
         * scale).astype(q.dtype)
-    dk_ref[0, 0] = (jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale).astype(k.dtype)
+    dk_ref[0, 0] = (jax.lax.dot(
+        ds.T, q, preferred_element_type=jnp.float32)
+        * scale).astype(k.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
