@@ -49,7 +49,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float):
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)          # (Tq, Tk)
-    scores = scores * scale + m_ref[0]               # additive key mask row
+    scores = scores * scale + m_ref[0, 0]            # additive key mask row
     attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     o_ref[0, 0] = jnp.dot(
         attn, v, preferred_element_type=jnp.float32).astype(v.dtype)
@@ -71,7 +71,7 @@ def _fused_bhtd(q, k, v, mask, interpret: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tk, hd), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 1, tk), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, tq, hd), lambda i, j: (i, j, 0, 0),
@@ -99,7 +99,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, m_ref, g_ref,
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    scores = scores * scale + m_ref[0]
+    scores = scores * scale + m_ref[0, 0]
     attn = jax.nn.softmax(scores, axis=-1)            # (Tq, Tk) f32
     d_attn = jax.lax.dot_general(
         g, v, (((1,), (1,)), ((), ())),
@@ -131,7 +131,7 @@ def _fused_bwd_bhtd(q, k, v, mask, g, interpret: bool):
         functools.partial(_attn_bwd_kernel, scale=scale),
         grid=(b, h),
         in_specs=[tile(tq), tile(tk), tile(tk),
-                  pl.BlockSpec((1, tk), lambda i, j: (i, 0),
+                  pl.BlockSpec((1, 1, tk), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   tile(tq)],
         out_specs=(tile(tq), tile(tk), tile(tk)),
@@ -183,10 +183,12 @@ def fused_attention(q, k, v, key_mask=None, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if key_mask is None:
-        mask = jnp.zeros((b, tk), jnp.float32)
+        # (B, 1, Tk): the singleton middle dim keeps the Mosaic block
+        # rule satisfied (each block dim equals the array dim)
+        mask = jnp.zeros((b, 1, tk), jnp.float32)
     else:
         mask = jnp.broadcast_to(key_mask.astype(jnp.float32),
-                                (b, 1, 1, tk)).reshape(b, tk)
+                                (b, 1, 1, tk)).reshape(b, 1, tk)
     # relayout to (B, H, T, hd) so each program's tile is (T, hd) —
     # sublane-major, contiguous per (b, h); XLA fuses the transpose
     # into the producing projection reshape
