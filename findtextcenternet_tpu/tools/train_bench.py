@@ -63,6 +63,19 @@ def _total_flops(compiled) -> float:
     return float(ca.get("flops", 0.0))
 
 
+def _v5e_sharding():
+    """A replicated sharding on a locally-compiled v5e topology (libtpu
+    compiles with no device attached — see tests/test_tpu_aot_compile.py)."""
+    import numpy as _np
+
+    os.environ.setdefault("ALLOW_MULTIPLE_LIBTPU_LOAD", "true")
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    topo = topologies.get_topology_desc("v5e:2x2", "tpu")
+    mesh = Mesh(_np.array(topo.devices[:1]), ("x",))
+    return NamedSharding(mesh, P())
+
+
 def _bench_transformer(args):
     """train3's `transformer_train_step` at the production 400/400
     shapes; the --attn-impl lever isolates the fused-attention win
@@ -159,6 +172,16 @@ def main(argv=None):
                          "(fused = Pallas single-tile, custom VJP)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny transformer dims (CI / CPU smoke)")
+    ap.add_argument("--aot", action="store_true",
+                    help="compile for a v5e topology locally (no device "
+                         "needed, implies --dry): real Mosaic/XLA:TPU "
+                         "pipeline + memory analysis even while the "
+                         "tunnel is down")
+    ap.add_argument("--donate", action="store_true",
+                    help="with --aot: donate the train-state buffers "
+                         "(the axon tunnel rejects donation at runtime; "
+                         "AOT shows the aliasing the chip would get on a "
+                         "standard runtime)")
     args = ap.parse_args(argv)
 
     import jax
@@ -167,6 +190,9 @@ def main(argv=None):
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    if args.aot:
+        args.dry = True
+        jax.config.update("jax_platforms", "cpu")   # keep axon out
 
     if args.transformer:
         return _bench_transformer(args)
@@ -178,15 +204,30 @@ def main(argv=None):
     cfg = Config(detector=DetectorConfig(
         model_size=args.model_size, remat=args.remat,
         image_size=(args.image, args.image)))
-    model, state = build_detector_state(cfg, mesh=None, seed=0)
-
-    rng = np.random.default_rng(0)
-    batch = {k: jax.device_put(v) for k, v in
-             fake_batch(rng, args.batch, args.image, args.image).items()}
 
     step = jax.jit(lambda s, b: detector_train_step(
         s, b, fmask_k=cfg.detector.fmask_topk_per_sample,
-        accum_steps=args.accum))
+        accum_steps=args.accum),
+        donate_argnums=(0,) if args.donate else ())
+
+    if args.aot:
+        sharding = _v5e_sharding()
+        state = jax.eval_shape(
+            lambda _: build_detector_state(cfg, mesh=None, seed=0)[1],
+            0)
+        state = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=sharding), state)
+        batch = {
+            k: jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=sharding)
+            for k, v in fake_batch(np.random.default_rng(0), args.batch,
+                                   args.image, args.image).items()}
+    else:
+        model, state = build_detector_state(cfg, mesh=None, seed=0)
+        rng = np.random.default_rng(0)
+        batch = {k: jax.device_put(v) for k, v in
+                 fake_batch(rng, args.batch, args.image,
+                            args.image).items()}
 
     t0 = time.perf_counter()
     lowered = step.lower(state, batch)
@@ -219,7 +260,8 @@ def main(argv=None):
             "metric": "detector_train_dry_compile",
             "model_size": args.model_size, "batch": args.batch,
             "accum_steps": args.accum, "image": args.image,
-            "remat": args.remat, "compile_s": round(compile_s, 1),
+            "remat": args.remat, "aot": args.aot, "donate": args.donate,
+            "compile_s": round(compile_s, 1),
             "scheduled_tflops_per_step": round(flops / 1e12, 2)
             if flops else None, **mem,
         }))
