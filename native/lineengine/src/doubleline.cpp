@@ -6,6 +6,7 @@
 #include "engine.h"
 
 #include <algorithm>
+#include <numeric>
 
 namespace lineengine {
 
@@ -145,8 +146,29 @@ void mark_double_rows(std::vector<Box>& boxes, Chains& chains) {
                 }
             }
         } else {
-            float chain_h = 0;
-            for (int id : chain) chain_h = std::max(chain_h, boxes[id].h);
+            // Reference quirk (split_doubleline.cpp:237): max_h is NOT
+            // the chain's max height. The reference reduces over box
+            // *indices* with a (float, int) lambda, and libstdc++'s
+            // std::reduce evaluates as a 4-way tree — so indices get
+            // promoted to float "heights" and partial height results
+            // get truncated back to int and used as box indices. The
+            // resulting under-height threshold is a deterministic (per
+            // libstdc++) scramble of indices and heights; replicate it
+            // by issuing the identical std::reduce call. Where the
+            // reference would index out of range (undefined behavior —
+            // a truncated height >= box count) we clamp: divergence is
+            // then confined to inputs where the reference itself is
+            // undefined. Verified equal against the reference binary on
+            // the in-range protocol-fuzz corpus (tests/test_lineengine
+            // _fuzz.py); the true-max version flipped warichu marks on
+            // ~25% of random-cloud pages.
+            const int nb = (int)boxes.size();
+            float chain_h = std::reduce(
+                chain.begin(), chain.end(), 0.0f,
+                [&](float acc, int i) {
+                    return std::max(
+                        acc, boxes[std::clamp(i, 0, nb - 1)].h);
+                });
             float last_s = -1, last_e = -1;
             int last = -1;
             for (int id : chain) {
