@@ -105,6 +105,32 @@ KNOWN_REF_UB = {25}
 
 
 @pytest.mark.slow
+def test_capi_matches_own_binary_on_fuzz_corpus():
+    """The in-process C API (what OCRPipeline calls) must be
+    bit-identical to our own subprocess binary on the same fuzz corpus —
+    they share the engine source but differ in entry path and process
+    state (no exec, repeated calls in one process)."""
+    import struct as st
+    if not lineengine.build_native():
+        pytest.skip("native line engine not buildable")
+    rng = np.random.default_rng(20260818)
+    for case in range(40):
+        blob = _blob(rng)
+        mw, mh = st.unpack_from("<II", blob, 4)
+        off = 12
+        line = np.frombuffer(blob, np.float32, mw * mh, off).reshape(mh, mw)
+        off += mw * mh * 4
+        sep = np.frombuffer(blob, np.float32, mw * mh, off).reshape(mh, mw)
+        off += mw * mh * 4
+        (n,) = st.unpack_from("<I", blob, off)
+        boxes = np.frombuffer(blob, np.float32, n * 8, off + 4).reshape(n, 8)
+        capi = lineengine.detect_lines(line, sep, boxes)
+        sub = run_engine(OUR_BIN, blob)
+        np.testing.assert_array_equal(
+            capi, sub, err_msg=f"case {case}: capi != binary")
+
+
+@pytest.mark.slow
 def test_protocol_fuzz_vs_reference_binary():
     if not os.path.isdir(REF):
         pytest.skip("reference checkout not available")
