@@ -241,9 +241,11 @@ def test_hostops_grid_dedup_adversarial():
         dup = rng.integers(0, n, n // 2)
         jitter = rng.uniform(-4, 4, (len(dup), 2)).astype(np.float32)
         scale = rng.uniform(0.7, 1.3, (len(dup), 2)).astype(np.float32)
-        boxes = np.concatenate([
-            np.concatenate([centers, wh], 1),
+        exact = rng.integers(0, n, n // 8)     # bit-identical duplicates:
+        boxes = np.concatenate([                # IoU == 1.0 exactly, the
+            np.concatenate([centers, wh], 1),   # tie-order stress case
             np.concatenate([centers[dup] + jitter, wh[dup] * scale], 1),
+            np.concatenate([centers[exact], wh[exact]], 1),
         ]).astype(np.float32)
         keepm = np.asarray(
             hostops.greedy_dedup(boxes, 0.5, 0.75, 0.5), bool)
