@@ -183,6 +183,21 @@ class MilMapper:
     def map_identity(self, m, n, args, **kw):
         return self.b.identity(x=args[0])
 
+    # QDQ pair (static-int8 artifacts, `onnx_models.emit_detector_qdq`)
+    # maps onto MIL's iOS17 quantize/dequantize ops so the quantized
+    # detector serves through the CoreML path too.
+    def map_quantizelinear(self, m, n, args, *, axis=1, **kw):
+        x, scale = args[0], args[1]
+        zp = args[2] if len(args) > 2 else None
+        return self.b.quantize(x=x, scale=scale, zero_point=zp,
+                               axis=int(axis))
+
+    def map_dequantizelinear(self, m, n, args, *, axis=1, **kw):
+        x, scale = args[0], args[1]
+        zp = args[2] if len(args) > 2 else None
+        return self.b.dequantize(x=x, scale=scale, zero_point=zp,
+                                 axis=int(axis))
+
 
 # ---------------------------------------------------------------------------
 # numpy backend (in-tree validation)
@@ -324,6 +339,22 @@ class NumpyMilBackend:
     def identity(x):
         return x
 
+    @staticmethod
+    def quantize(x, scale, zero_point, axis):
+        from .onnx_writer import OnnxEvaluator
+        return OnnxEvaluator.op_quantizelinear(
+            np.asarray(x), np.asarray(scale),
+            None if zero_point is None else np.asarray(zero_point),
+            axis=axis)
+
+    @staticmethod
+    def dequantize(x, scale, zero_point, axis):
+        from .onnx_writer import OnnxEvaluator
+        return OnnxEvaluator.op_dequantizelinear(
+            np.asarray(x), np.asarray(scale),
+            None if zero_point is None else np.asarray(zero_point),
+            axis=axis)
+
 
 # ---------------------------------------------------------------------------
 # coremltools backend (deploy time; requires the coremltools package)
@@ -432,6 +463,20 @@ class MilBuilderBackend:
     def identity(self, x):
         return self.mb.identity(x=x)
 
+    def quantize(self, x, scale, zero_point, axis):
+        kw = dict(x=x, scale=scale, axis=axis,
+                  output_dtype="uint8" if zero_point is None
+                  or np.asarray(zero_point).dtype == np.uint8 else "int8")
+        if zero_point is not None:
+            kw["zero_point"] = zero_point
+        return self.mb.quantize(**kw)
+
+    def dequantize(self, x, scale, zero_point, axis):
+        kw = dict(input=x, scale=scale, axis=axis)
+        if zero_point is not None:
+            kw["zero_point"] = zero_point
+        return self.mb.dequantize(**kw)
+
 
 # ---------------------------------------------------------------------------
 # conversion entry points
@@ -442,6 +487,34 @@ def run_mapped_numpy(onnx_bytes: bytes, feeds: Dict) -> Dict:
     """Execute the ONNX graph through the MIL mapping in numpy (the
     in-tree validation path for the CoreML conversion)."""
     return MilMapper(NumpyMilBackend()).run(parse_model(onnx_bytes), feeds)
+
+
+class MilSession:
+    """CoreML-deployment-contract execution of an emitted ONNX graph.
+
+    A real deployment calls ``MLModel.predict`` once per sample on
+    batch-1 mlpackages (reference `process_ocr_coreml.py:18-40`,
+    `convert1_coreml.py:40-47` pins batch 1); this session reproduces
+    that contract in-tree: the graph is walked per batch-1 slice
+    through the validated numpy MIL backend, and int64 feeds are cast
+    to int32 (CoreML has no int64). Drives
+    :meth:`..infer.pipeline.OCRPipeline.from_coreml`.
+    """
+
+    def __init__(self, onnx_bytes: bytes):
+        self.model = parse_model(onnx_bytes)
+        self.mapper = MilMapper(NumpyMilBackend())
+
+    def __call__(self, **feeds) -> Dict[str, np.ndarray]:
+        arrs = {k: np.asarray(v) for k, v in feeds.items()}
+        n = max(int(v.shape[0]) for v in arrs.values())
+        outs = []
+        for i in range(n):
+            f = {k: (v.astype(np.int32) if v.dtype == np.int64 else v)
+                 [i:i + 1] for k, v in arrs.items()}
+            outs.append(self.mapper.run(self.model, f))
+        return {k: np.concatenate([o[k] for o in outs], axis=0)
+                for k in outs[0]}
 
 
 def convert_to_mlpackage(onnx_bytes: bytes, out_path: str,

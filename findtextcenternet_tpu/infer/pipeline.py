@@ -429,13 +429,43 @@ class OCRPipeline:
         stream, assembly) is the shared pipeline code; the jitted
         stages call the sessions via ``jax.pure_callback``.
         """
-        from ..const import MODULO_LIST
-        from ..models.transformer import make_key_mask, mask_predict_fns
         from .onnx_backend import OnnxSession
 
-        det = OnnxSession(detector_onnx)
-        enc = OnnxSession(encoder_onnx)
-        dec = OnnxSession(decoder_onnx)
+        return cls._from_sessions(
+            OnnxSession(detector_onnx), OnnxSession(encoder_onnx),
+            OnnxSession(decoder_onnx), config, model_size)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_coreml(cls, detector_onnx, encoder_onnx, decoder_onnx,
+                    config: Config = Config(),
+                    model_size: str = "xl") -> "OCRPipeline":
+        """Pipeline driven through the CoreML (MIL) op mapping — the
+        equivalent of the reference's ``process_ocr_coreml.py`` backend
+        (`/root/reference/process_ocr_coreml.py:7-74`).
+
+        Each artifact executes under the deployed-mlpackage contract
+        (:class:`..export.coreml_models.MilSession`): per-sample batch-1
+        evaluation of the exact MIL op/argument stream
+        ``convert_to_mlpackage`` emits, int64 cast to int32. On a box
+        with ``coremltools`` the same graphs convert to real
+        .mlpackages; this driver is their in-tree twin.
+        """
+        from ..export.coreml_models import MilSession
+
+        return cls._from_sessions(
+            MilSession(detector_onnx), MilSession(encoder_onnx),
+            MilSession(decoder_onnx), config, model_size)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def _from_sessions(cls, det, enc, dec, config: Config,
+                       model_size: str) -> "OCRPipeline":
+        """Shared driver body for the artifact-session backends
+        (`from_onnx`, `from_coreml`): wraps three callable sessions as
+        ``detector_apply`` / ``decode_fn`` via ``jax.pure_callback``."""
+        from ..const import MODULO_LIST
+        from ..models.transformer import make_key_mask, mask_predict_fns
 
         fdim = config.detector.feature_dim
         t = config.transformer

@@ -3,7 +3,8 @@
 Usage:
     python -m findtextcenternet_tpu.infer.run_ocr [--resize=F]
         [--model-size=xl] [--model-pt=path] [--model3-pt=path]
-        [--random-weights] [--tiny] [--onnx-dir=DIR] images...
+        [--random-weights] [--tiny] [--onnx-dir=DIR] [--coreml-dir=DIR]
+        images...
 
 Weights: by default looks for ``model.pt`` / ``model3.pt`` in the CWD and
 imports them (`io/torch_import.py`); ``--random-weights`` runs the full
@@ -12,7 +13,10 @@ pipeline with randomly initialized weights (smoke/benchmark mode);
 weights (the reference's ``run_ocr.py onnx`` / ``process_ocr_onnx.py``
 backend) — expects TextDetector.onnx, TransformerEncoder.onnx and
 TransformerDecoder.onnx in DIR (written by
-``python -m findtextcenternet_tpu.export.onnx_models``).
+``python -m findtextcenternet_tpu.export.onnx_models``);
+``--coreml-dir`` runs the same artifacts through the CoreML MIL op
+mapping under the deployed-mlpackage contract (the reference's
+``run_ocr.py coreml`` / ``process_ocr_coreml.py`` backend).
 """
 from __future__ import annotations
 
@@ -29,10 +33,12 @@ from .pipeline import OCRPipeline, ocr_file
 def build_pipeline(model_size: str = "xl", model_pt: str = "model.pt",
                    model3_pt: str = "model3.pt",
                    random_weights: bool = False,
-                   onnx_dir: str | None = None):
+                   onnx_dir: str | None = None,
+                   coreml_dir: str | None = None):
     """Construct an OCRPipeline the way the CLIs do: import reference
     checkpoints when present, else random weights; ``tiny`` swaps in the
-    fast smoke config; ``onnx_dir`` drives the exported ONNX artifacts.
+    fast smoke config; ``onnx_dir`` drives the exported ONNX artifacts;
+    ``coreml_dir`` drives them through the CoreML MIL mapping.
     Shared by run_ocr and tools/visualize."""
     cfg = Config()
     if model_size != cfg.detector.model_size:
@@ -56,14 +62,23 @@ def build_pipeline(model_size: str = "xl", model_pt: str = "model.pt",
             mask_predict=dataclasses.replace(cfg.mask_predict,
                                              max_rounds=2))
 
-    if onnx_dir:
+    if onnx_dir or coreml_dir:
         from .onnx_backend import ARTIFACT_NAMES
-        paths = {k: os.path.join(onnx_dir, v)
+        art_dir = onnx_dir or coreml_dir
+        paths = {k: os.path.join(art_dir, v)
                  for k, v in ARTIFACT_NAMES.items()}
-        pipeline = OCRPipeline.from_onnx(
-            paths["detector"], paths["encoder"], paths["decoder"],
-            cfg, model_size)
-        print(f"loaded ONNX artifacts from {onnx_dir}")
+        if coreml_dir:
+            blobs = {k: open(paths[k], "rb").read()
+                     for k in ("detector", "encoder", "decoder")}
+            pipeline = OCRPipeline.from_coreml(
+                blobs["detector"], blobs["encoder"], blobs["decoder"],
+                cfg, model_size)
+            print(f"loaded artifacts from {art_dir} (CoreML MIL backend)")
+        else:
+            pipeline = OCRPipeline.from_onnx(
+                paths["detector"], paths["encoder"], paths["decoder"],
+                cfg, model_size)
+            print(f"loaded ONNX artifacts from {onnx_dir}")
     elif not random_weights and os.path.exists(model_pt) and \
             os.path.exists(model3_pt):
         pipeline = OCRPipeline.from_torch_checkpoints(
@@ -83,6 +98,7 @@ def main(argv=None):
     random_weights = False
     twopass = False
     onnx_dir = None
+    coreml_dir = None
     files = []
     for a in argv:
         if a.startswith("--resize="):
@@ -99,6 +115,8 @@ def main(argv=None):
             twopass = True
         elif a.startswith("--onnx-dir="):
             onnx_dir = a.split("=", 1)[1]
+        elif a.startswith("--coreml-dir="):
+            coreml_dir = a.split("=", 1)[1]
         elif a == "--tiny":
             model_size = "tiny"
             random_weights = True
@@ -110,7 +128,8 @@ def main(argv=None):
         return 1
 
     pipeline = build_pipeline(model_size, model_pt, model3_pt,
-                              random_weights, onnx_dir=onnx_dir)
+                              random_weights, onnx_dir=onnx_dir,
+                              coreml_dir=coreml_dir)
 
     if len(files) > 1:
         # multi-page runs pipeline host stages of page N against device
