@@ -464,15 +464,22 @@ class MilBuilderBackend:
         return self.mb.identity(x=x)
 
     def quantize(self, x, scale, zero_point, axis):
-        kw = dict(x=x, scale=scale, axis=axis,
+        # MIL iOS17 quantize names its tensor input `input` (same as
+        # dequantize); per-tensor (scalar-scale) QDQ edges must not pass
+        # an axis argument — MIL rejects axis with rank-0 scales.
+        kw = dict(input=x, scale=scale,
                   output_dtype="uint8" if zero_point is None
                   or np.asarray(zero_point).dtype == np.uint8 else "int8")
+        if np.ndim(scale) >= 1:
+            kw["axis"] = axis
         if zero_point is not None:
             kw["zero_point"] = zero_point
         return self.mb.quantize(**kw)
 
     def dequantize(self, x, scale, zero_point, axis):
-        kw = dict(input=x, scale=scale, axis=axis)
+        kw = dict(input=x, scale=scale)
+        if np.ndim(scale) >= 1:
+            kw["axis"] = axis
         if zero_point is not None:
             kw["zero_point"] = zero_point
         return self.mb.dequantize(**kw)
@@ -507,7 +514,14 @@ class MilSession:
 
     def __call__(self, **feeds) -> Dict[str, np.ndarray]:
         arrs = {k: np.asarray(v) for k, v in feeds.items()}
-        n = max(int(v.shape[0]) for v in arrs.values())
+        dims = {k: (int(v.shape[0]) if v.ndim else None)
+                for k, v in arrs.items()}
+        uniq = set(dims.values())
+        if None in uniq or len(uniq) != 1:
+            raise ValueError(
+                "MilSession feeds must share one leading batch dim, got "
+                + ", ".join(f"{k}: {d}" for k, d in dims.items()))
+        n = next(iter(uniq))
         outs = []
         for i in range(n):
             f = {k: (v.astype(np.int32) if v.dtype == np.int64 else v)

@@ -62,6 +62,10 @@ def build_pipeline(model_size: str = "xl", model_pt: str = "model.pt",
             mask_predict=dataclasses.replace(cfg.mask_predict,
                                              max_rounds=2))
 
+    if onnx_dir and coreml_dir:
+        raise ValueError(
+            "--onnx-dir and --coreml-dir are mutually exclusive backends; "
+            "pass exactly one")
     if onnx_dir or coreml_dir:
         from .onnx_backend import ARTIFACT_NAMES
         art_dir = onnx_dir or coreml_dir
