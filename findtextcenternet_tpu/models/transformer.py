@@ -536,27 +536,43 @@ def mask_predict_fns(encode_fn, decode_probs_fn, enc_input, dec_len: int,
     init_output = jnp.zeros((b, dec_len), dtype=jnp.int32)
     init_p = jnp.zeros((b, dec_len), dtype=jnp.float32)
 
+    # early-stop bookkeeping is PER WINDOW (a (b,) done vector with the
+    # converged rows' code/p frozen), matching the reference driver,
+    # which decodes one window per call so its batch-global stop
+    # (models/transformer.py:326-358 upstream) is per-window by
+    # construction (process_ocr_base.py:230-235 builds batch-1 inputs).
+    # A batch-global stop would keep refining converged windows while a
+    # straggler finishes — making decoded text depend on which windows
+    # happen to share a batch.
     def cond(carry):
         _, _, _, k, done = carry
-        return jnp.logical_and(k < max_rounds, jnp.logical_not(done))
+        return jnp.logical_and(k < max_rounds,
+                               jnp.logical_not(jnp.all(done)))
 
     def body(carry):
-        dec_input, _, _, k, _ = carry
+        dec_input, code0, p0, k, done0 = carry
         probs = decode_probs_fn(dec_input, enc_output, key_mask)
         code, p = crt_combine_topk_probs(probs, topk)
         invalid = p <= 0.0  # invalid reconstructions got prob 0
 
         newly = jnp.logical_and(dec_input == DECODER_MSK, code > 0)
-        all_conf = jnp.all(jnp.where(newly, p > early_stop_threshold, True))
+        all_conf = jnp.all(
+            jnp.where(newly, p > early_stop_threshold, True), axis=1)
 
         remask = jnp.logical_or(p < remask_threshold, invalid)
-        any_remask = jnp.any(remask)
+        any_remask = jnp.any(remask, axis=1)
         done = jnp.logical_or(all_conf, jnp.logical_not(any_remask))
 
-        new_input = jnp.where(remask, DECODER_MSK, code).astype(jnp.int32)
-        return (new_input, code.astype(jnp.int32), p, k + 1, done)
+        keep = done0[:, None]           # rows finished before this round
+        new_code = jnp.where(keep, code0, code.astype(jnp.int32))
+        new_p = jnp.where(keep, p0, p)
+        new_input = jnp.where(
+            keep, dec_input,
+            jnp.where(remask, DECODER_MSK, code).astype(jnp.int32))
+        return (new_input, new_code, new_p, k + 1,
+                jnp.logical_or(done0, done))
 
     _, code, p, _, _ = jax.lax.while_loop(
         cond, body, (init_input, init_output, init_p,
-                     jnp.asarray(0), jnp.asarray(False)))
+                     jnp.asarray(0), jnp.zeros((b,), bool)))
     return code, p

@@ -1,7 +1,9 @@
 from .mesh import (  # noqa: F401
+    leaf_sharding,
     make_mesh,
     param_pspec,
     replicate,
     shard_batch,
     shard_params,
+    tree_pspecs,
 )

@@ -96,6 +96,53 @@ def shard_params(params, mesh: Mesh):
     return rebuild(params)
 
 
+def tree_pspecs(tree):
+    """PartitionSpec pytree for ``tree`` by matching each leaf's path
+    against the TP rules (default replicated).
+
+    Works on any pytree — param dicts AND full train states: optimizer
+    state mirrors the param tree (schedule-free keeps a z copy), so the
+    suffix regexes in ``_TP_RULES`` match its leaves too, giving the
+    optimizer moments the same layout as their parameters. Used for AOT
+    multi-device compiles where leaves are abstract (ShapeDtypeStruct)
+    and :func:`shard_params`'s device_put is unavailable.
+    """
+    from jax.tree_util import (DictKey, FlattenedIndexKey, GetAttrKey,
+                               SequenceKey)
+
+    def key_str(k):
+        if isinstance(k, DictKey):
+            return str(k.key)
+        if isinstance(k, GetAttrKey):
+            return k.name
+        if isinstance(k, (SequenceKey, FlattenedIndexKey)):
+            return str(getattr(k, "idx", getattr(k, "key", "")))
+        return str(k)
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    specs = []
+    for path, leaf in flat:
+        p = "/".join(key_str(k) for k in path)
+        spec = param_pspec(p)
+        # dims must exist and divide the mesh axis at placement time;
+        # the caller checks that (shapes are known there, mesh too)
+        specs.append((spec, getattr(leaf, "ndim", 0)))
+    return jax.tree_util.tree_unflatten(
+        treedef, [s for s, _ in specs])
+
+
+def leaf_sharding(mesh: Mesh, spec: P, leaf) -> NamedSharding:
+    """NamedSharding for ``leaf`` under ``spec``, falling back to
+    replication when a sharded dim doesn't exist or doesn't divide."""
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        size = mesh.shape[axis]
+        if getattr(leaf, "ndim", 0) <= dim or leaf.shape[dim] % size != 0:
+            return NamedSharding(mesh, P())
+    return NamedSharding(mesh, spec)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Shard leading batch axis over the 'data' mesh axis."""
     sh = NamedSharding(mesh, P("data"))

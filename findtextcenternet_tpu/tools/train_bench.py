@@ -76,6 +76,45 @@ def _v5e_sharding():
     return NamedSharding(mesh, P())
 
 
+def _v5e_mesh(spec: str):
+    """A ('data','model') mesh over the 4-chip v5e:2x2 topology for AOT
+    GSPMD compiles at flagship scale (VERDICT r4 item: prove the
+    sharded-memory fit and collective layout of the xl/production train
+    steps without multi-chip hardware). ``spec`` is "DATAxMODEL", e.g.
+    "4x1" (pure DP) or "2x2" (DP+TP)."""
+    import numpy as _np
+
+    os.environ.setdefault("ALLOW_MULTIPLE_LIBTPU_LOAD", "true")
+    from jax.experimental import topologies
+    from jax.sharding import Mesh
+    d, m = (int(v) for v in spec.lower().split("x"))
+    topo = topologies.get_topology_desc("v5e:2x2", "tpu")
+    assert d * m <= len(topo.devices), (spec, len(topo.devices))
+    arr = _np.array(topo.devices[: d * m]).reshape(d, m)
+    return Mesh(arr, ("data", "model"))
+
+
+def _aot_state_and_batch(state_shapes, batch_shapes, mesh):
+    """Abstract (ShapeDtypeStruct) train state + batch with flagship
+    shardings: params/opt-state by the TP path rules (replicated where
+    they don't match / don't divide), batch split over 'data'."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import leaf_sharding, tree_pspecs
+
+    specs = tree_pspecs(state_shapes)
+    state = jax.tree_util.tree_map(
+        lambda x, s: jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=leaf_sharding(mesh, s, x)),
+        state_shapes, specs)
+    dsh = NamedSharding(mesh, P("data"))
+    batch = {
+        k: jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=dsh)
+        for k, v in batch_shapes.items()}
+    return state, batch
+
+
 def _bench_transformer(args):
     """train3's `transformer_train_step` at the production 400/400
     shapes; the --attn-impl lever isolates the fused-attention win
@@ -97,26 +136,67 @@ def _bench_transformer(args):
                           enc_block_num=1, dec_block_num=1,
                           max_enc_seq_len=16, max_dec_seq_len=16)
     cfg = dc.replace(cfg, transformer=tcfg)
-    model, state = build_transformer_state(cfg, mesh=None, seed=0)
 
     t = cfg.transformer
     rng = np.random.default_rng(0)
     true = rng.integers(1, MAX_CODEPOINT,
                         (args.batch, t.max_dec_seq_len)).astype(np.int64)
     dec_in = np.where(rng.random(true.shape) < 0.5, 3, true)  # MSK=3
-    batch = {k: jax.device_put(v) for k, v in {
+    batch_np = {
         "encoder_input": rng.standard_normal(
             (args.batch, t.max_enc_seq_len, ENCODER_DIM)
         ).astype(np.float32),
         "decoder_input": dec_in.astype(np.int32),
         "decoder_true": true.astype(np.int32),
-    }.items()}
+    }
+
+    if args.aot:
+        state = jax.eval_shape(
+            lambda _: build_transformer_state(cfg, mesh=None, seed=0)[1],
+            0)
+        if args.aot_mesh:
+            mesh = _v5e_mesh(args.aot_mesh)
+            state, batch = _aot_state_and_batch(state, batch_np, mesh)
+        else:
+            sh = _v5e_sharding()
+            state = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                               sharding=sh), state)
+            batch = {k: jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=sh)
+                     for k, v in batch_np.items()}
+    else:
+        model, state = build_transformer_state(cfg, mesh=None, seed=0)
+        batch = {k: jax.device_put(v) for k, v in batch_np.items()}
 
     step = jax.jit(lambda s, b: transformer_train_step(s, b))
     t0 = time.perf_counter()
     compiled = step.lower(state, batch).compile()
     compile_s = time.perf_counter() - t0
     flops = _total_flops(compiled)
+
+    if args.dry:
+        mem = {}
+        try:
+            ma = compiled.memory_analysis()
+            if ma is not None:
+                for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+                          "output_size_in_bytes"):
+                    v = getattr(ma, k, None)
+                    if v is not None:
+                        mem[k.replace("_size_in_bytes", "_gb")] = round(
+                            v / 2**30, 3)
+        except Exception as e:
+            mem["memory_analysis_error"] = str(e)[:80]
+        print(json.dumps({
+            "metric": "transformer_train_dry_compile",
+            "batch": args.batch, "attn_impl": args.attn_impl,
+            "aot": args.aot,
+            **({"aot_mesh": args.aot_mesh} if args.aot_mesh else {}),
+            "compile_s": round(compile_s, 1),
+            "scheduled_tflops_per_step": round(flops / 1e12, 2)
+            if flops else None, **mem,
+        }))
+        return
 
     def sync(metrics):
         return float(np.asarray(metrics["loss"], np.float32))
@@ -182,6 +262,12 @@ def main(argv=None):
                          "(the axon tunnel rejects donation at runtime; "
                          "AOT shows the aliasing the chip would get on a "
                          "standard runtime)")
+    ap.add_argument("--aot-mesh", default=None, metavar="DxM",
+                    help="with --aot: compile over a multi-chip "
+                         "('data','model') mesh on the v5e:2x2 topology "
+                         "(e.g. 4x1 = pure DP, 2x2 = DP+TP) — flagship "
+                         "GSPMD sharding evidence without hardware; "
+                         "memory figures are per device")
     args = ap.parse_args(argv)
 
     import jax
@@ -211,17 +297,23 @@ def main(argv=None):
         donate_argnums=(0,) if args.donate else ())
 
     if args.aot:
-        sharding = _v5e_sharding()
         state = jax.eval_shape(
             lambda _: build_detector_state(cfg, mesh=None, seed=0)[1],
             0)
-        state = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
-                                           sharding=sharding), state)
-        batch = {
-            k: jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=sharding)
-            for k, v in fake_batch(np.random.default_rng(0), args.batch,
-                                   args.image, args.image).items()}
+        batch_np = fake_batch(np.random.default_rng(0), args.batch,
+                              args.image, args.image)
+        if args.aot_mesh:
+            mesh = _v5e_mesh(args.aot_mesh)
+            state, batch = _aot_state_and_batch(state, batch_np, mesh)
+        else:
+            sharding = _v5e_sharding()
+            state = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                               sharding=sharding), state)
+            batch = {
+                k: jax.ShapeDtypeStruct(v.shape, v.dtype,
+                                        sharding=sharding)
+                for k, v in batch_np.items()}
     else:
         model, state = build_detector_state(cfg, mesh=None, seed=0)
         rng = np.random.default_rng(0)
@@ -261,6 +353,7 @@ def main(argv=None):
             "model_size": args.model_size, "batch": args.batch,
             "accum_steps": args.accum, "image": args.image,
             "remat": args.remat, "aot": args.aot, "donate": args.donate,
+            **({"aot_mesh": args.aot_mesh} if args.aot_mesh else {}),
             "compile_s": round(compile_s, 1),
             "scheduled_tflops_per_step": round(flops / 1e12, 2)
             if flops else None, **mem,
