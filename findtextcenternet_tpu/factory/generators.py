@@ -127,6 +127,34 @@ class PageGenerator:
                 out.append("\n")
         return "".join(out)
 
+    def pick_kind(self) -> str:
+        """Weighted page-kind draw following ``get_random_text``
+        (`generate_random_txt.py:1025-1061`): furigana .15, textline .15,
+        chars .30, words .10, korean .10, wari/grid/handwriting .05 each,
+        scatter .025, book .025 (the reference's remaining .05 is its
+        ``get_random_il`` one-liner pages, split here between scatter
+        and book/section pages)."""
+        r = self.rng.uniform()
+        if r < 0.15:
+            return "furigana"
+        if r < 0.30:
+            return "textline"
+        if r < 0.60:
+            return "chars"
+        if r < 0.70:
+            return "words"
+        if r < 0.80:
+            return "korean"
+        if r < 0.85:
+            return "wari"
+        if r < 0.90:
+            return "grid"
+        if r < 0.95:
+            return "handwriting"
+        if r < 0.975:
+            return "scatter"
+        return "book"
+
     def _corpus_text(self, n: int) -> Optional[str]:
         if not self.corpus:
             return None
@@ -150,48 +178,45 @@ class PageGenerator:
         """
         rng = self.rng
         if kind is None:
-            r = rng.uniform()
-            if r < 0.15:
-                kind = "furigana"
-            elif r < 0.30:
-                kind = "textline"
-            elif r < 0.60:
-                kind = "chars"
-            elif r < 0.70:
-                kind = "words"
-            elif r < 0.80:
-                kind = "korean"
-            elif r < 0.85:
-                kind = "wari"
-            elif r < 0.90:
-                kind = "grid"
-            elif r < 0.95:
-                kind = "handwriting"
-            elif r < 0.975:
-                kind = "scatter"
-            else:
-                kind = "book"
+            kind = self.pick_kind()
 
         canvas = Canvas(self.width, self.height, rng)
-        size = int(rng.integers(24, 72))
-        bold = rng.uniform() < 0.1
+        # font size: log-uniform over the page-relative span the reference
+        # samples — size = exp(U(log 18, log 256)) px on a canvas of
+        # min(line_charcount*size, 2000) px (`generate_random_txt.py:
+        # 606-609`), i.e. char/page ratios of roughly 0.015..0.13; scaled
+        # to this page's smaller dimension, floored at a legible 12 px
+        min_dim = min(self.width, self.height)
+        lo = max(12.0, 0.015 * min_dim)
+        hi = max(lo + 4.0, 0.10 * min_dim)
+        size = int(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+        # bold 20% / italic 10%, `generate_random_txt.py:614-615`
+        bold = rng.uniform() < 0.2
         italic = rng.uniform() < 0.1
         rast = self._rast(size, bold, italic)
         ruby_rast = cached_rasterizer(rast.font_path, max(8, size // 2),
                                       bold=bold, italic=italic)
         chars = self._chars_for(rast)
-        vertical = rng.uniform() < 0.4
+        # the reference flips horizontal/vertical at 0.5
+        # (`generate_random_txt.py:612`, `:867`)
+        vertical = rng.uniform() < 0.5
+        # line pitch U(1.0, 2.0) like the reference's line_space_ratio
+        # (`generate_random_txt.py:620`); floored just above touching
+        line_spacing = float(rng.uniform(1.05, 2.0))
 
         if kind == "furigana":
             text = self._random_furigana_text(chars, int(rng.integers(8, 60)))
-            self._flow(canvas, text, rast, ruby_rast, vertical)
+            self._flow(canvas, text, rast, ruby_rast, vertical,
+                       line_spacing=line_spacing)
         elif kind == "textline":
             text = self._corpus_text(800) or \
                 self._random_string(chars, int(rng.integers(100, 600)))
-            self._flow(canvas, text, rast, ruby_rast, vertical)
+            self._flow(canvas, text, rast, ruby_rast, vertical,
+                       line_spacing=line_spacing)
         elif kind == "chars":
             text = self._random_string(chars, int(rng.integers(100, 800)))
-            self._flow(canvas, text, rast, ruby_rast, vertical)
+            self._flow(canvas, text, rast, ruby_rast, vertical,
+                       line_spacing=line_spacing)
         elif kind == "words":
             text = self._random_words(int(rng.integers(20, 80)))
             # drop words the font can't render
@@ -236,10 +261,12 @@ class PageGenerator:
                     break
         elif kind == "handwriting":
             from .handwriting import compose_handwriting_page
-            return compose_handwriting_page(
+            page = compose_handwriting_page(
                 chars, rast, self.width, self.height, rng,
                 bank=getattr(self, "stroke_bank", None),
                 count=int(rng.integers(30, 120)))
+            page.update(kind=kind, font_size=size, vertical=False)
+            return page
         elif kind == "grid":
             canvas.random_grid(chars, rast,
                                rows=int(rng.integers(3, 8)),
@@ -267,10 +294,12 @@ class PageGenerator:
                            self.width * 0.3, self.height * 0.8,
                            self.width * 0.3)
 
-        return canvas.result()
+        page = canvas.result()
+        page.update(kind=kind, font_size=size, vertical=vertical)
+        return page
 
     def _flow(self, canvas: Canvas, text: str, rast, ruby_rast, vertical,
-              margin: float = 1.5):
+              margin: float = 1.5, line_spacing: float = 1.6):
         size = rast.size
         if vertical:
             origin = (self.width - size * margin, size * margin)
@@ -279,7 +308,7 @@ class PageGenerator:
             origin = (size * margin, size * margin)
             extent = self.width - 2 * margin * size
         canvas.typeset(text, rast, origin, extent, vertical=vertical,
-                       ruby_rast=ruby_rast)
+                       ruby_rast=ruby_rast, line_spacing=line_spacing)
 
 
 def make_shards(out_pattern: str, count: int, generator: PageGenerator,
