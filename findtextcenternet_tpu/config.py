@@ -106,6 +106,15 @@ class InferenceConfig:
     # the artifact drivers), "fused" the single-tile Pallas kernel
     # (same math, scores stay in VMEM — see ops/attention.py)
     decode_attention: str = "xla"
+    # hard cap on decode windows per device call. Mask-predict at
+    # production dims holds a (B, heads, 400, 400) f32 score tensor per
+    # self-attention (7.7 MB/window/head-group); an uncapped batch on a
+    # box-dense page (or a random-weight smoke run) can demand tens of
+    # GB and OOM the chip. 64 windows ~= 0.5 GB of scores — far more
+    # windows than any real page in one call, small enough to never
+    # threaten HBM. Chunks dispatch back-to-back (async), so the device
+    # pipeline stays full across chunks.
+    decode_max_batch: int = 64
     # page maps (line/seps/codes) ship device->host as uint8 (4x less
     # transfer; 1/255 resolution sits far below every downstream
     # threshold on real detector output). False ships f32 — used by the

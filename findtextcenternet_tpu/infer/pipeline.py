@@ -1052,23 +1052,35 @@ class OCRPipeline:
         sp[1:fdim:2] = -5
 
         enc_len = self.transformer.dims.max_enc_seq_len
-        # pad the window count to a power-of-two bucket so page-to-page
-        # variation reuses compiled decode graphs (all-zero rows make an
-        # empty key mask and decode to PAD)
+        # pad each chunk's window count to a power-of-two bucket so
+        # page-to-page variation reuses compiled decode graphs (all-zero
+        # rows make an empty key mask and decode to PAD). The chunk size
+        # is capped (cfg.inference.decode_max_batch): the self-attention
+        # score tensor scales linearly in the window batch and an
+        # uncapped box-dense page can demand tens of GB of HBM. All
+        # chunks dispatch before the first readback — dispatch is async,
+        # so the device works through the queue back-to-back.
         n = len(windows)
-        bucket = self._min_bucket      # mesh data-axis size, else 1
-        while bucket < n:
-            bucket *= 2
-        batch = np.zeros((bucket, enc_len, enc_dim), np.float32)
-        for wi, (_, ci, cj, _) in enumerate(windows):
-            batch[wi, 0] = sp
-            batch[wi, 1:1 + cj - ci] = features[ci:cj]
-            batch[wi, 1 + cj - ci] = -sp
-        # padding rows copy the first window: a fully-masked encoder row
-        # would NaN its attention and defeat the early-exit test
-        batch[n:] = batch[0]
-        codes, _ = self._decode(self.tf_vars, jnp.asarray(batch))
-        codes = np.asarray(codes)[:n]
+        cap = max(self._min_bucket,
+                  int(self.cfg.inference.decode_max_batch))
+        pending = []
+        for c0 in range(0, n, cap):
+            cn = min(cap, n - c0)
+            bucket = self._min_bucket      # mesh data-axis size, else 1
+            while bucket < cn:
+                bucket *= 2
+            batch = np.zeros((bucket, enc_len, enc_dim), np.float32)
+            for wi, (_, ci, cj, _) in enumerate(windows[c0:c0 + cn]):
+                batch[wi, 0] = sp
+                batch[wi, 1:1 + cj - ci] = features[ci:cj]
+                batch[wi, 1 + cj - ci] = -sp
+            # padding rows copy the first window: a fully-masked encoder
+            # row would NaN its attention and defeat the early-exit test
+            batch[cn:] = batch[0]
+            chunk_codes, _ = self._decode(self.tf_vars, jnp.asarray(batch))
+            pending.append((cn, chunk_codes))
+        codes = np.concatenate(
+            [np.asarray(c)[:cn] for cn, c in pending], axis=0)
 
         texts = []
         for wi in range(len(windows)):

@@ -46,6 +46,9 @@ def extract_peaks(
     (`/root/reference/process_ocr_base.py:524-525`).
     """
     b, h, w, _ = heatmap.shape
+    # a tile smaller than the requested peak budget (e.g. 64 px tiles ->
+    # 16x16 maps) can't yield more peaks than it has cells
+    max_peaks = min(max_peaks, h * w)
     keymap = heatmap[..., 0]
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"

@@ -254,3 +254,32 @@ def test_hostops_grid_dedup_adversarial():
         ref = OCRPipeline._greedy_dedup_numpy(
             _P(), loc, list(range(len(boxes))))
         np.testing.assert_array_equal(np.where(keepm)[0], np.asarray(ref))
+
+
+def test_decode_windows_chunking_equivalence(tiny_pipeline):
+    """decode_max_batch chunking must not change decoded text: a 5-window
+    decode at cap=2 (3 chunks, mixed bucket sizes) matches the uncapped
+    single-call decode."""
+    import dataclasses as dc
+    from findtextcenternet_tpu.const import ENCODER_DIM
+
+    rng = np.random.default_rng(3)
+    enc_len = tiny_pipeline.transformer.dims.max_enc_seq_len
+    feats = rng.standard_normal(
+        (5 * (enc_len - 2), ENCODER_DIM)).astype(np.float32)
+    step = enc_len - 2
+    windows = [(0, i * step, (i + 1) * step, 0) for i in range(5)]
+
+    texts_full = tiny_pipeline.decode_windows(feats, windows)
+    capped = dc.replace(
+        tiny_pipeline.cfg, inference=dc.replace(
+            tiny_pipeline.cfg.inference, decode_max_batch=2))
+    tiny_pipeline.cfg = capped
+    try:
+        texts_chunked = tiny_pipeline.decode_windows(feats, windows)
+    finally:
+        tiny_pipeline.cfg = dc.replace(
+            capped, inference=dc.replace(capped.inference,
+                                         decode_max_batch=64))
+    assert texts_chunked == texts_full
+    assert len(texts_full) == 5
