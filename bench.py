@@ -275,11 +275,12 @@ def main():
     asm_dt, out = best_of(lambda: pipe.assemble(locs, fidx, windows,
                                                 texts))
 
-    # tiles per page for the end-to-end throughput numbers (stages E/F)
-    tile, step = 768, int(768 * 0.6)
-    nx = max(1, (PAGE_W - tile) // step + 1)
-    ny = max(1, (PAGE_H - tile) // step + 1)
-    n_tiles = nx * ny
+    # tiles per page for the end-to-end throughput numbers (stages E/F):
+    # the count the pipeline actually runs on the PADDED page (12 for
+    # this 2048x1448 scan) — the same grid the reference would run
+    # (process_ocr_base.py:63-71 pads identically). r3's unpadded
+    # formula said 6, undercounting the measured work per page 2x.
+    n_tiles = len(pipe.tile_grid(PAGE_H, PAGE_W)[2])
 
     # ---- stage B2: full-page detector wall time -------------------------
     # run_detector end to end on the real page: single page upload +

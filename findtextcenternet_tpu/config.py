@@ -115,6 +115,19 @@ class InferenceConfig:
     # threaten HBM. Chunks dispatch back-to-back (async), so the device
     # pipeline stays full across chunks.
     decode_max_batch: int = 64
+    # opt-in decode sequence-length buckets (sorted ascending, e.g.
+    # (64, 128, 256, 400)). Each window decodes in the smallest bucket
+    # that fits its content + estimated ruby expansion; attention cost
+    # is quadratic in the bucket, so short windows stop paying the full
+    # 400-token graph (a box-dense page under degenerate detections can
+    # emit hundreds of <10-token windows). Empty = always decode at the
+    # full production length — the exact-parity default: the reference
+    # decodes 400 positions with UNMASKED decoder self-attention
+    # (/root/reference/models/transformer.py:281-359), so its padded
+    # tail genuinely participates in every softmax and a shorter graph
+    # is not bit-identical (near-tie argmax flips are possible; same
+    # failure class as the demoted fused-attention decode lever).
+    decode_len_buckets: Tuple[int, ...] = ()
     # page maps (line/seps/codes) ship device->host as uint8 (4x less
     # transfer; 1/255 resolution sits far below every downstream
     # threshold on real detector output). False ships f32 — used by the

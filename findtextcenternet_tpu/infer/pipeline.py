@@ -344,20 +344,51 @@ class OCRPipeline:
                 _detect_page, in_shardings=(repl, repl, data, data),
                 out_shardings=data)
 
+        self._make_decode_fn = None
         if decode_fn is None:
-            def decode_fn(variables, enc_input):
-                return mask_predict(
-                    self.transformer, variables, enc_input,
-                    max_rounds=mp.max_rounds, topk=mp.topk,
-                    remask_threshold=mp.remask_threshold,
-                    early_stop_threshold=mp.early_stop_threshold)
+            def make_decode_fn(dec_len):
+                def decode_fn(variables, enc_input):
+                    return mask_predict(
+                        self.transformer, variables, enc_input,
+                        max_rounds=mp.max_rounds, topk=mp.topk,
+                        remask_threshold=mp.remask_threshold,
+                        early_stop_threshold=mp.early_stop_threshold,
+                        dec_len=dec_len)
+                return decode_fn
 
+            # only the live model decodes at bucketed lengths; exported
+            # / ONNX / CoreML decode_fns are fixed-shape artifacts
+            self._make_decode_fn = make_decode_fn
+            decode_fn = make_decode_fn(None)
+
+        self._decode_shardings = (None if mesh is None
+                                  else (repl, data))
         if mesh is None:
             self._decode = jax.jit(decode_fn)
         else:
             self._decode = jax.jit(decode_fn,
                                    in_shardings=(repl, data),
                                    out_shardings=data)
+        self._decode_cache: Dict[int, object] = {}
+
+    def _decode_for(self, seq_len: int):
+        """Jitted decode graph at a bucketed sequence length (cached
+        per length; the persistent compilation cache makes the compiles
+        one-time). Falls back to the full-length graph for exported
+        backends (fixed-shape artifacts) and for ``seq_len`` at or
+        above the production length."""
+        if (self._make_decode_fn is None
+                or seq_len >= self.transformer.dims.max_dec_seq_len):
+            return self._decode
+        if seq_len not in self._decode_cache:
+            fn = self._make_decode_fn(seq_len)
+            if self._decode_shardings is None:
+                self._decode_cache[seq_len] = jax.jit(fn)
+            else:
+                repl, data = self._decode_shardings
+                self._decode_cache[seq_len] = jax.jit(
+                    fn, in_shardings=(repl, data), out_shardings=data)
+        return self._decode_cache[seq_len]
 
     # ------------------------------------------------------------------
     @classmethod
@@ -567,14 +598,16 @@ class OCRPipeline:
 
     @staticmethod
     def _fetch_peaks(packed, feat_dev) -> Dict[str, np.ndarray]:
-        """Unpack the single (B, K, 10) peak readback and slice the
-        dominant f16 feature buffer to the valid rows. Valid peaks are a
-        score-sorted prefix (ownership masking precedes top_k in
-        extract_peaks), so only the live rows need to cross the device
-        link; kmax rounds up to a multiple of 64 to bound the number of
-        compiled slice shapes."""
+        """Unpack the single (B, K, 10) peak readback plus the f16
+        feature buffer. The features read back whole: an earlier design
+        sliced ``feat_dev[:, :kmax]`` on device to ship only the valid
+        prefix, but that slice is a fresh dispatch (a full tunnel RTT)
+        producing a buffer that was never host-mirrored — measured ~200
+        ms per page on the axon link, versus ~0 for ``np.asarray`` of a
+        result whose ``copy_to_host_async`` started at dispatch time
+        (run_detector kicks those off for every chunk output)."""
         packed = np.asarray(packed)
-        out = {
+        return {
             "score": packed[..., 0],
             "x": packed[..., 1].astype(np.int32),
             "y": packed[..., 2].astype(np.int32),
@@ -582,11 +615,8 @@ class OCRPipeline:
             "h": packed[..., 4],
             "codes": packed[..., 5:9],
             "valid": packed[..., 9] > 0.5,
+            "feature": np.asarray(feat_dev),
         }
-        kmax = int(out["valid"].sum(axis=1).max())
-        kmax = min(feat_dev.shape[1], (max(kmax, 1) + 63) // 64 * 64)
-        out["feature"] = np.asarray(feat_dev[:, :kmax])
-        return out
 
     def _chunk_sizes(self, n: int) -> List[int]:
         """Split ``n`` tiles into compiled-batch chunks: full
@@ -608,6 +638,38 @@ class OCRPipeline:
             sizes.append(min(b, B))
         return sizes
 
+    def tile_grid(self, height: int, width: int):
+        """Tile offsets + map-scale ownership bounds for a page.
+
+        The page pads (bottom/right, blank 255) until the 0.6-stride
+        grid divides it exactly — the same rule as the reference's
+        dataset construction (`/root/reference/process_ocr_base.py:63-71`),
+        so both frameworks run the identical tile count per page (a
+        2048x1448 book scan is 12 tiles, not the 6 an unpadded
+        ``(W - tile) // step + 1`` would suggest — that grid leaves the
+        bottom 220 rows uncovered). Returns ``(padx, pady, offs,
+        bounds)`` with offsets in padded-page pixels.
+        """
+        ic = self.cfg.inference
+        tile = ic.tile_size
+        step = int(tile * ic.stride_ratio)
+        padx = max(0, (tile - width) % step, tile - width)
+        pady = max(0, (tile - height) % step, tile - height)
+        H, W = height + pady, width + padx
+        ms = tile // SCALE
+        offs, bounds = [], []
+        for y in range(0, H - tile + 1, step):
+            for x in range(0, W - tile + 1, step):
+                offs.append((x, y))
+                x_min = int(ms * (1 - ic.stride_ratio) / 2) if x > 0 else 0
+                x_max = (int(ms * (1 - (1 - ic.stride_ratio) / 2)) + 1
+                         if x + tile < W else ms)
+                y_min = int(ms * (1 - ic.stride_ratio) / 2) if y > 0 else 0
+                y_max = (int(ms * (1 - (1 - ic.stride_ratio) / 2)) + 1
+                         if y + tile < H else ms)
+                bounds.append((x_min, x_max, y_min, y_max))
+        return padx, pady, offs, bounds
+
     def run_detector(self, img: np.ndarray,
                      twopass: bool = False) -> DetectedPage:
         ic = self.cfg.inference
@@ -625,8 +687,8 @@ class OCRPipeline:
             scale = 255.0 if img.max(initial=0.0) <= 1.0 else 1.0
             img = np.clip(np.round(img * scale), 0, 255).astype(np.uint8)
 
-        padx = max(0, (tile - img.shape[1]) % step, tile - img.shape[1])
-        pady = max(0, (tile - img.shape[0]) % step, tile - img.shape[0])
+        padx, pady, offs, bounds = self.tile_grid(img.shape[0],
+                                                  img.shape[1])
         img = np.pad(img, [[0, pady], [0, padx], [0, 0]],
                      constant_values=255)
         H, W = img.shape[:2]
@@ -671,18 +733,6 @@ class OCRPipeline:
         mh, mw = H // SCALE, W // SCALE
         ms = tile // SCALE
 
-        offs, bounds = [], []
-        for y in range(0, H - tile + 1, step):
-            for x in range(0, W - tile + 1, step):
-                offs.append((x, y))
-                x_min = int(ms * (1 - ic.stride_ratio) / 2) if x > 0 else 0
-                x_max = (int(ms * (1 - (1 - ic.stride_ratio) / 2)) + 1
-                         if x + tile < W else ms)
-                y_min = int(ms * (1 - ic.stride_ratio) / 2) if y > 0 else 0
-                y_max = (int(ms * (1 - (1 - ic.stride_ratio) / 2)) + 1
-                         if y + tile < H else ms)
-                bounds.append((x_min, x_max, y_min, y_max))
-
         lines_all = np.zeros((mh, mw), np.float32)
         seps_all = np.zeros((mh, mw), np.float32)
         codes_all = np.zeros((mh, mw, 4), np.float32)
@@ -708,7 +758,7 @@ class OCRPipeline:
                 jnp.asarray(np.asarray(cbounds, np.int32)))
             # start the bulk readbacks streaming immediately; the merge
             # loop below consumes them in dispatch order
-            for a in (packed, cmaps):
+            for a in (packed, feat, cmaps):
                 if hasattr(a, "copy_to_host_async"):
                     a.copy_to_host_async()
             pending.append((i0, n, packed, feat, cmaps))
@@ -1052,6 +1102,42 @@ class OCRPipeline:
         sp[1:fdim:2] = -5
 
         enc_len = self.transformer.dims.max_enc_seq_len
+
+        # group windows by decode sequence length. Default (no
+        # decode_len_buckets) every window decodes at the production
+        # length — exact reference numerics. With buckets configured,
+        # each window runs in the smallest bucket that fits its content
+        # plus the estimated ruby expansion (the same budget
+        # split_windows uses, process_ocr_base.py:186-203): attention
+        # is quadratic in the length, so short windows stop paying the
+        # 400-token graph.
+        buckets_cfg = tuple(sorted(self.cfg.inference.decode_len_buckets))
+
+        def seq_need(ci: int, cj: int) -> int:
+            r, s = 0, 0
+            for k in range(ci, cj):
+                if features[k, -3] > 0:
+                    r += 1
+                if s == 0 and features[k, -5] > 0:
+                    r += 3
+                    s = 1
+                elif s == 1 and features[k, -4] > 0:
+                    s = 2
+                elif s == 2 and features[k, -4] == 0:
+                    s = 0
+            return max(cj - ci + 2, min(enc_len, cj - ci + r + 3))
+
+        groups: Dict[int, List[int]] = {}
+        for wi, (_, ci, cj, _) in enumerate(windows):
+            s_len = enc_len
+            if buckets_cfg:
+                need = seq_need(ci, cj)
+                for b in buckets_cfg:
+                    if b >= need:
+                        s_len = min(b, enc_len)
+                        break
+            groups.setdefault(s_len, []).append(wi)
+
         # pad each chunk's window count to a power-of-two bucket so
         # page-to-page variation reuses compiled decode graphs (all-zero
         # rows make an empty key mask and decode to PAD). The chunk size
@@ -1060,42 +1146,46 @@ class OCRPipeline:
         # uncapped box-dense page can demand tens of GB of HBM. All
         # chunks dispatch before the first readback — dispatch is async,
         # so the device works through the queue back-to-back.
-        n = len(windows)
         cap = max(self._min_bucket,
                   int(self.cfg.inference.decode_max_batch))
         pending = []
-        for c0 in range(0, n, cap):
-            cn = min(cap, n - c0)
-            bucket = self._min_bucket      # mesh data-axis size, else 1
-            while bucket < cn:
-                bucket *= 2
-            batch = np.zeros((bucket, enc_len, enc_dim), np.float32)
-            for wi, (_, ci, cj, _) in enumerate(windows[c0:c0 + cn]):
-                batch[wi, 0] = sp
-                batch[wi, 1:1 + cj - ci] = features[ci:cj]
-                batch[wi, 1 + cj - ci] = -sp
-            # padding rows copy the first window: a fully-masked encoder
-            # row would NaN its attention and defeat the early-exit test
-            batch[cn:] = batch[0]
-            chunk_codes, _ = self._decode(self.tf_vars, jnp.asarray(batch))
-            pending.append((cn, chunk_codes))
-        codes = np.concatenate(
-            [np.asarray(c)[:cn] for cn, c in pending], axis=0)
+        for s_len, idxs in sorted(groups.items()):
+            decode = self._decode_for(s_len)
+            for c0 in range(0, len(idxs), cap):
+                chunk = idxs[c0:c0 + cap]
+                cn = len(chunk)
+                bucket = self._min_bucket  # mesh data-axis size, else 1
+                while bucket < cn:
+                    bucket *= 2
+                batch = np.zeros((bucket, s_len, enc_dim), np.float32)
+                for bi, wi in enumerate(chunk):
+                    _, ci, cj, _ = windows[wi]
+                    batch[bi, 0] = sp
+                    batch[bi, 1:1 + cj - ci] = features[ci:cj]
+                    batch[bi, 1 + cj - ci] = -sp
+                # padding rows copy the first window: a fully-masked
+                # encoder row would NaN its attention and defeat the
+                # early-exit test
+                batch[cn:] = batch[0]
+                chunk_codes, _ = decode(self.tf_vars, jnp.asarray(batch))
+                pending.append((chunk, chunk_codes))
 
-        texts = []
-        for wi in range(len(windows)):
-            out = []
-            for p in codes[wi]:
-                p = int(p)
-                if p == DECODER_SOT:
-                    continue
-                if p in (DECODER_PAD, DECODER_EOT):
-                    break
-                if 0xD800 <= p <= 0xDFFF or p > MAX_CODEPOINT:
-                    out.append("�")
-                else:
-                    out.append(chr(p))
-            texts.append("".join(out))
+        texts: List[str] = [""] * len(windows)
+        for chunk, chunk_codes in pending:
+            codes = np.asarray(chunk_codes)
+            for bi, wi in enumerate(chunk):
+                out = []
+                for p in codes[bi]:
+                    p = int(p)
+                    if p == DECODER_SOT:
+                        continue
+                    if p in (DECODER_PAD, DECODER_EOT):
+                        break
+                    if 0xD800 <= p <= 0xDFFF or p > MAX_CODEPOINT:
+                        out.append("�")
+                    else:
+                        out.append(chr(p))
+                texts[wi] = "".join(out)
         return texts
 
     # ------------------------------------------------------------------

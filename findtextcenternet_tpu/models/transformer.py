@@ -477,7 +477,8 @@ def crt_combine_topk_probs(probs: Sequence[jnp.ndarray], topk: int = 3,
 def mask_predict(model: Transformer, params, enc_input,
                  max_rounds: int = 8, topk: int = 3,
                  remask_threshold: float = 0.9,
-                 early_stop_threshold: float = 0.99):
+                 early_stop_threshold: float = 0.99,
+                 dec_len: int | None = None):
     """Non-autoregressive iterative decode; fully jittable, batched.
 
     Starts from an all-MSK decoder input, refines up to ``max_rounds``
@@ -485,7 +486,17 @@ def mask_predict(model: Transformer, params, enc_input,
     rules as the reference predictor
     (`/root/reference/models/transformer.py:274-360`).
 
-    Returns ``(codes[B, max_dec_seq_len], probs[B, max_dec_seq_len])``.
+    ``dec_len`` (default ``dims.max_dec_seq_len``) sets the decoder
+    sequence length: every weight (positional tables slice to the
+    actual length) and every rule is unchanged, but decoder
+    self-attention runs over ``dec_len`` positions instead of the full
+    400 — the cost is quadratic in it. Exact reference parity requires
+    the full length (the reference always decodes 400 positions and its
+    decoder self-attention is unmasked, so the padded tail participates
+    in every softmax); shorter lengths are the opt-in
+    ``decode_len_buckets`` throughput lever.
+
+    Returns ``(codes[B, dec_len], probs[B, dec_len])``.
     """
     def decode_probs(dec_input, kv, key_mask):
         logits = model.apply(params, dec_input, kv, key_mask,
@@ -495,7 +506,8 @@ def mask_predict(model: Transformer, params, enc_input,
 
     return mask_predict_fns(
         lambda e: model.apply(params, e, method=Transformer.encode),
-        decode_probs, enc_input, model.dims.max_dec_seq_len,
+        decode_probs, enc_input,
+        dec_len if dec_len is not None else model.dims.max_dec_seq_len,
         max_rounds=max_rounds, topk=topk,
         remask_threshold=remask_threshold,
         early_stop_threshold=early_stop_threshold,

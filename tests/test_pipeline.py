@@ -283,3 +283,50 @@ def test_decode_windows_chunking_equivalence(tiny_pipeline):
                                          decode_max_batch=64))
     assert texts_chunked == texts_full
     assert len(texts_full) == 5
+
+
+def test_decode_len_buckets(tiny_pipeline):
+    """decode_len_buckets groups windows by content length. A bucket at
+    the full production length is the identical graph (exact equality
+    with the default); short windows route to a smaller graph (cheaper
+    quadratic attention) whose full-size windows still match the
+    default exactly and whose outputs stay ordered per window."""
+    import dataclasses as dc
+    from findtextcenternet_tpu.const import ENCODER_DIM
+
+    rng = np.random.default_rng(7)
+    enc_len = tiny_pipeline.transformer.dims.max_enc_seq_len
+    step = enc_len - 2
+    # 2 full-length windows + 3 three-feature windows, interleaved
+    feats = rng.standard_normal((2 * step + 9, ENCODER_DIM)).astype(
+        np.float32)
+    # the ruby/direction budget columns come from real streams; zero
+    # them so seq_need is content-driven and deterministic here
+    feats[:, -6:] = 0.0
+    windows = [(0, 0, step, 0), (0, step, step + 3, 0),
+               (0, step + 3, step + 6, 0),
+               (0, step + 6, 2 * step + 6, 0),
+               (0, 2 * step + 6, 2 * step + 9, 0)]
+
+    texts_default = tiny_pipeline.decode_windows(feats, windows)
+
+    def with_buckets(buckets):
+        old = tiny_pipeline.cfg
+        tiny_pipeline.cfg = dc.replace(
+            old, inference=dc.replace(old.inference,
+                                      decode_len_buckets=buckets))
+        try:
+            return tiny_pipeline.decode_windows(feats, windows)
+        finally:
+            tiny_pipeline.cfg = old
+
+    # full-length-only bucket: same graph, bit-identical
+    assert with_buckets((enc_len,)) == texts_default
+
+    # mixed buckets: 3-feature windows (need 8) go to the 8-graph;
+    # full-length windows stay on the exact default graph
+    texts_b = with_buckets((8, enc_len))
+    assert len(texts_b) == len(windows)
+    assert texts_b[0] == texts_default[0]
+    assert texts_b[3] == texts_default[3]
+    assert 8 in tiny_pipeline._decode_cache
