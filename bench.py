@@ -285,14 +285,24 @@ def main():
     # ---- stage B2: full-page detector wall time -------------------------
     # run_detector end to end on the real page: single page upload +
     # on-device tile slicing + batched dispatch + uint8/f16 readback +
-    # merge. This is the true per-page detector cost on the transfer
-    # path (stage A is device compute only), so the e2e composition
-    # below prefers it when measured.
-    det_page_dt = None
+    # merge. Two numbers: the serial per-call time, and the steady-state
+    # per-page time with two worker threads (page N+1's upload and
+    # dispatch overlap page N's readback/merge — exactly what ocr_pages
+    # does in production serving). The e2e composition uses the
+    # steady-state cost; the serial one is the cold-page latency.
+    det_page_dt = det_page_pipe_dt = None
     if os.environ.get("BENCH_PAGE", "1") != "0":
+        from concurrent.futures import ThreadPoolExecutor
+
         pipe.run_detector(img)      # warm: compiles the page-shape graph
         det_page_dt, _ = best_of(lambda: pipe.run_detector(img))
-    det_component = (det_page_dt if det_page_dt is not None
+        npg = 6
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            list(ex.map(lambda _: pipe.run_detector(img), range(2)))
+            t0 = time.perf_counter()
+            list(ex.map(lambda _: pipe.run_detector(img), range(npg)))
+            det_page_pipe_dt = (time.perf_counter() - t0) / npg
+    det_component = (det_page_pipe_dt if det_page_pipe_dt is not None
                      else n_tiles / det_tiles_per_sec)
 
     # ---- stage D: static-int8 detector artifact -------------------------
@@ -416,14 +426,26 @@ def main():
     # the genuinely measured pipelined number: ocr_pages over N copies of
     # the bench page (full pipeline — detector, host stages, decode, all
     # overlapped by the worker threads), wall-clock per page. Random
-    # weights make the per-page box/window load differ from the
-    # synthetic-detection composition above, so both are reported.
+    # weights are a pathological decode load — the untrained detector's
+    # boxes shred into hundreds of near-empty windows per page (reported
+    # below), each paying the full-length decode graph — so the default
+    # exact-parity config measures far below the synthetic-detection
+    # composition. The decode_len_buckets serving lever routes those
+    # windows to short graphs; its steady state is reported alongside.
     e2e_stats = {}
     if os.environ.get("BENCH_E2E", "1") != "0":
+        import dataclasses
+
         from findtextcenternet_tpu.infer.pipeline import ocr_pages
 
         npages = int(os.environ.get("BENCH_E2E_PAGES", "4"))
         ocr_pages(pipe, [img], workers=1)    # warm every graph/bucket
+        dpage = pipe.run_detector(img)
+        page_windows = len(pipe.split_windows(
+            pipe.build_feature_stream(pipe.run_line_engine(dpage),
+                                      dpage.features)[0],
+            pipe.transformer.dims.max_enc_seq_len))
+        del dpage
         t0 = time.perf_counter()
         ocr_pages(pipe, [img] * npages, workers=2)
         e2e_dt = time.perf_counter() - t0
@@ -431,7 +453,22 @@ def main():
             "e2e_measured_tiles_per_sec": round(
                 n_tiles * npages / e2e_dt, 3),
             "e2e_measured_pages": npages,
+            "e2e_windows_per_page": page_windows,
         }
+        if os.environ.get("BENCH_E2E_BUCKETED", "1") != "0":
+            cfgb = dataclasses.replace(
+                pipe.cfg, inference=dataclasses.replace(
+                    pipe.cfg.inference,
+                    decode_len_buckets=(64, 128, 256, 400)))
+            pipeb = OCRPipeline(
+                cfgb, detector_variables=pipe.det_vars,
+                transformer_variables=pipe.tf_vars,
+                model_size=pipe.detector.model_size)
+            ocr_pages(pipeb, [img], workers=1)   # warm bucket graphs
+            t0 = time.perf_counter()
+            ocr_pages(pipeb, [img] * npages, workers=2)
+            e2e_stats["e2e_bucketed_tiles_per_sec"] = round(
+                n_tiles * npages / (time.perf_counter() - t0), 3)
 
     # effective end-to-end throughput for this page. Serial = every stage
     # in sequence; pipelined = ocr_pages' steady state, where host stages
@@ -449,7 +486,9 @@ def main():
         "vs_baseline": round(pipelined / BASELINE_TILES_PER_SEC, 3),
         "serial_tiles_per_sec": round(serial, 3),
         "detector_tiles_per_sec": round(det_tiles_per_sec, 3),
-        **({"detector_page_ms": round(det_page_dt * 1e3, 1)}
+        **({"detector_page_ms": round(det_page_dt * 1e3, 1),
+            "detector_page_pipelined_ms": round(
+                det_page_pipe_dt * 1e3, 1)}
            if det_page_dt is not None else {}),
         "page_tiles": n_tiles,
         "page_boxes": int(len(locs)),

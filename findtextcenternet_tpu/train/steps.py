@@ -27,7 +27,8 @@ from .state import TrainState
 def detector_train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                         fmask_k: int = 1024, loss_scale: float = 1.0,
                         freeze_detector: bool = False,
-                        accum_steps: int = 1, dropout_seed: int = 0
+                        accum_steps: int = 1, dropout_seed: int = 0,
+                        micro_sharding=None
                         ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One detector training step.
 
@@ -41,6 +42,9 @@ def detector_train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
     gradients average into one optimizer update, with BN statistics and
     CoV state threaded through the micro-batches — the reference's
     iters_to_accumulate (`/root/reference/train1.py:176-180`).
+    ``micro_sharding`` (``NamedSharding`` over ``P(None, 'data')``)
+    must accompany ``accum_steps > 1`` under a mesh — see
+    :func:`transformer_train_step`.
     """
 
     def micro_grads(params, bn_stats, cov, mb, rng):
@@ -73,6 +77,8 @@ def detector_train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
         micro = jax.tree_util.tree_map(
             lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps)
                                 + x.shape[1:]), batch)
+        if micro_sharding is not None:
+            micro = jax.lax.with_sharding_constraint(micro, micro_sharding)
 
         def body(carry, xs):
             grads_acc, cov, bn = carry
@@ -134,7 +140,8 @@ def detector_bn_recalib_step(state: TrainState, batch, fmask_k: int = 1024
     return state.replace(batch_stats=updates["batch_stats"])
 
 
-def transformer_train_step(state: TrainState, batch, dropout_seed: int = 1
+def transformer_train_step(state: TrainState, batch, dropout_seed: int = 1,
+                           accum_steps: int = 1, micro_sharding=None
                            ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One transformer training step.
 
@@ -142,21 +149,59 @@ def transformer_train_step(state: TrainState, batch, dropout_seed: int = 1
            decoder_true (B,L) int32 target codes.
     Loss is computed at positions where input was MSK but target is real
     (`/root/reference/train3.py:141-151` semantics).
+    ``accum_steps > 1`` averages micro-batch gradients into one
+    optimizer update — the reference's iters_to_accumulate
+    (`/root/reference/train3.py:23,176-178`); at the production 400/400
+    dims the per-replica activation footprint scales with the
+    micro-batch, so this is also the HBM lever that fits the batch-256
+    flagship step on a v5e (see tests/test_tpu_aot_compile.py).
+    ``micro_sharding`` (a ``NamedSharding`` over ``P(None, 'data')``)
+    must accompany ``accum_steps > 1`` under a mesh: the
+    ``(B,...) -> (accum, B/accum, ...)`` reshape does not propagate the
+    batch axis's ``'data'`` sharding on its own, and GSPMD silently
+    replicates the micro-batch stack — measured as every per-device
+    activation carrying the FULL per-replica batch (the accumulation
+    then saves no memory at all).
     """
-    mask = jnp.logical_and(batch["decoder_input"] == 3,
-                           batch["decoder_true"] != 0)
+    def micro_grads(params, mb, rng):
+        mask = jnp.logical_and(mb["decoder_input"] == 3,
+                               mb["decoder_true"] != 0)
 
-    def loss_fn(params):
-        outputs = state.apply_fn(
-            {"params": params},
-            batch["encoder_input"], batch["decoder_input"], True,
-            rngs={"dropout": jax.random.fold_in(
-                jax.random.PRNGKey(dropout_seed), state.step)},
-        )
-        metrics = transformer_loss(outputs, batch["decoder_true"], mask)
-        return metrics["loss"], metrics
+        def loss_fn(p):
+            outputs = state.apply_fn(
+                {"params": p},
+                mb["encoder_input"], mb["decoder_input"], True,
+                rngs={"dropout": rng},
+            )
+            metrics = transformer_loss(outputs, mb["decoder_true"], mask)
+            return metrics["loss"], metrics
 
-    grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        return jax.grad(loss_fn, has_aux=True)(params)
+
+    base_rng = jax.random.fold_in(jax.random.PRNGKey(dropout_seed),
+                                  state.step)
+    if accum_steps <= 1:
+        grads, metrics = micro_grads(state.params, batch, base_rng)
+    else:
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps)
+                                + x.shape[1:]), batch)
+        if micro_sharding is not None:
+            micro = jax.lax.with_sharding_constraint(micro, micro_sharding)
+
+        def body(grads_acc, xs):
+            mb, i = xs
+            g, m = micro_grads(state.params, mb,
+                               jax.random.fold_in(base_rng, i))
+            grads_acc = jax.tree_util.tree_map(
+                lambda a, b: a + b / accum_steps, grads_acc, g)
+            return grads_acc, m
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        grads, stacked = jax.lax.scan(
+            body, zero, (micro, jnp.arange(accum_steps)))
+        metrics = jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0),
+                                         stacked)
     updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
     new_params = jax.tree_util.tree_map(
         lambda p, u: p + u, state.params, updates)

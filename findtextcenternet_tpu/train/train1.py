@@ -70,10 +70,14 @@ def train(shards, val_shards=None, config=None, num_workers: int = 4,
             print(f"resumed from {latest} at step {int(state.step)}")
 
     fmask_k = config.detector.fmask_topk_per_sample
+    micro_sh = None
+    if mesh is not None and tc.accum_steps > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        micro_sh = NamedSharding(mesh, P(None, "data"))
     train_step = jax.jit(
         lambda s, b: detector_train_step(
             s, b, fmask_k=fmask_k, accum_steps=tc.accum_steps,
-            dropout_seed=tc.seed))
+            dropout_seed=tc.seed, micro_sharding=micro_sh))
     eval_step = jax.jit(
         lambda s, b: detector_eval_step(s, b, fmask_k=fmask_k))
     recalib_step = jax.jit(

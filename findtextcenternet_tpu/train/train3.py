@@ -98,8 +98,14 @@ def train(features_npz=None, text_files=(), config=None,
                                 seed=tc.seed + 99, enc_len=enc_len,
                                 dec_len=dec_len)
 
+    micro_sh = None
+    if mesh is not None and tc.accum_steps > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        micro_sh = NamedSharding(mesh, P(None, "data"))
     train_step = jax.jit(
-        lambda s, b: transformer_train_step(s, b, dropout_seed=tc.seed))
+        lambda s, b: transformer_train_step(
+            s, b, dropout_seed=tc.seed, accum_steps=tc.accum_steps,
+            micro_sharding=micro_sh))
     eval_step = jax.jit(transformer_eval_step)
     # one jitted decode for the whole run — a fresh lambda per epoch
     # would miss the jit cache and re-trace the mask-predict loop
@@ -186,6 +192,9 @@ def main(argv=None):
         elif a.startswith("--attn-impl="):
             cfg = dc.replace(cfg, transformer=dc.replace(
                 cfg.transformer, attn_impl=a.split("=", 1)[1]))
+        elif a.startswith("--accum="):
+            cfg = dc.replace(cfg, train=dc.replace(
+                cfg.train, accum_steps=int(a.split("=", 1)[1])))
     train(config=cfg, **kw)
     return 0
 

@@ -87,6 +87,35 @@ def test_transformer_train_step_reduces_loss():
     assert losses[-1] < losses[0]
 
 
+def test_transformer_train_step_accum_equivalence():
+    """accum_steps=2 on a batch of two identical samples produces the
+    same optimizer update as the single full-batch step (each
+    micro-gradient equals the full-batch gradient, so their average is
+    too; dropout is 0.0 in the production config, so the per-micro RNG
+    fold is inert)."""
+    from findtextcenternet_tpu.train.train3 import build_transformer_state
+    cfg = tiny_config()
+    model, state = build_transformer_state(cfg, mesh=None, seed=0)
+
+    bank = FeatureBank.synthetic([ord("あ"), ord("い")], seed=0)
+    ds = TransformerDataset(bank, noise_ratio=0.1, seed=0)
+    raw = next(ds.batches(1))
+    batch = {
+        k: jnp.asarray(np.repeat(raw[k][:, :16], 2, axis=0))
+        for k in ("encoder_input", "decoder_input", "decoder_true")
+    }
+    s1, m1 = jax.jit(transformer_train_step)(state, batch)
+    s2, m2 = jax.jit(
+        lambda s, b: transformer_train_step(s, b, accum_steps=2))(
+        state, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        s1.params, s2.params)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from findtextcenternet_tpu.train import checkpoint as ckpt
     from findtextcenternet_tpu.train.train3 import build_transformer_state
