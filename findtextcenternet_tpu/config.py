@@ -135,6 +135,16 @@ class InferenceConfig:
     # land exactly on engine thresholds and the quantization delta
     # (not a logic difference) would flip knife-edge comparisons
     quantize_maps: bool = True
+    # single-chip fast path: merge the per-tile line/sep/code maps into
+    # one page mosaic ON DEVICE and sample the 3x3 code max-pool there,
+    # so only the 2-channel line/sep mosaic ships to the host instead of
+    # 6 channels per overlapping tile (~5x less map readback on the
+    # tunnel), and the host per-tile merge loop disappears. Bit-exact
+    # with the host merge (max-merges and the uint8 dequantization are
+    # monotone and commute; tests/test_pipeline.py fused-vs-host gate).
+    # Ignored under a mesh (the mosaic is page-global; the multi-chip
+    # serving path keeps the host merge).
+    fused_page_merge: bool = True
 
 
 @dataclass(frozen=True)

@@ -316,25 +316,117 @@ class OCRPipeline:
             maps = maps * region[..., None].astype(maps.dtype)
             return packed, feature, maps
 
-        def _detect_page(variables, page, offs, bounds):
+        def _page_tiles(page, offs):
             # the page ships to the device ONCE as uint8 and tiles are
             # cut on-device with dynamic_slice — the 0.6-stride grid
             # overlaps tiles ~2.4x, so host-side tiling re-uploads every
             # overlap; bit-identical to host slicing. Cost: one compile
             # per padded page shape (the persistent cache makes repeats
-            # free; book runs share one shape).
+            # free; book runs share one shape). A 2-D page is the
+            # grayscale upload fast path (run_detector ships one channel
+            # when all three are equal — every book scan — and the
+            # broadcast back to 3 channels happens here, for free inside
+            # the conv fusion).
             ts = ic.tile_size
+            if page.ndim == 2:
+                def cut2(off):
+                    return jax.lax.dynamic_slice(
+                        page, (off[1], off[0]), (ts, ts))
+                tiles = jax.vmap(cut2)(offs)
+                return jnp.broadcast_to(tiles[..., None],
+                                        tiles.shape + (3,))
 
             def cut(off):
                 return jax.lax.dynamic_slice(
                     page, (off[1], off[0], jnp.zeros((), off.dtype)),
                     (ts, ts, 3))
 
-            return _detect(variables, jax.vmap(cut)(offs), bounds)
+            return jax.vmap(cut)(offs)
 
+        def _detect_page(variables, page, offs, bounds):
+            return _detect(variables, _page_tiles(page, offs), bounds)
+
+        def _merge_maps(mosaic, maps, offs):
+            # max-merge the chunk's pre-masked (B, ms, ms, C) tile maps
+            # into the page mosaic at their offsets. Padded tile slots
+            # carry all-zero ownership masks, so their maps are zero and
+            # the max is a no-op. Sequential over B (the slices overlap
+            # at tile seams, so a scatter would race); each step is one
+            # VPU-sized dynamic_update_slice.
+            ms_ = ic.tile_size // SCALE
+
+            def body(i, mo):
+                oy = offs[i, 1] // SCALE
+                ox = offs[i, 0] // SCALE
+                cur = jax.lax.dynamic_slice(
+                    mo, (oy, ox, 0), (ms_, ms_, mo.shape[-1]))
+                return jax.lax.dynamic_update_slice(
+                    mo, jnp.maximum(cur, maps[i]), (oy, ox, 0))
+
+            return jax.lax.fori_loop(0, maps.shape[0], body, mosaic)
+
+        def _detect_page_merge(variables, page, offs, bounds, mosaic):
+            # fused single-chip page path (InferenceConfig.
+            # fused_page_merge): detect a chunk AND fold its maps into
+            # the device-resident page mosaic, so per-tile maps never
+            # ship to the host. mosaic=None creates the zeroed page
+            # mosaic (first chunk).
+            packed, feat, maps = _detect(
+                variables, _page_tiles(page, offs), bounds)
+            if mosaic is None:
+                mosaic = jnp.zeros(
+                    (page.shape[0] // SCALE, page.shape[1] // SCALE,
+                     maps.shape[-1]), maps.dtype)
+            return packed, feat, _merge_maps(mosaic, maps, offs)
+
+        def _finish_page(mosaic, chunks):
+            # after every chunk merged: sample the 3x3 code max-pool at
+            # each peak from the MERGED mosaic (the host used to read
+            # all 4 code channels back per tile just to do this) and
+            # hand back the line/sep mosaic planes. ``chunks`` is a
+            # tuple of (packed, offs) per dispatched chunk. The clipped
+            # 3x3 neighbor gather equals a SAME-padded max reduce_window
+            # (max-identity padding; coordinate clipping only duplicates
+            # in-window values). Final per-peak codes are
+            # max(raw peak codes, pooled map) — exactly
+            # _filter_boxes's host composition (reference semantics:
+            # /root/reference/process_ocr_base.py code3x3 max-pool).
+            codes = mosaic[..., 2:6]
+            if codes.dtype == jnp.uint8:
+                pooled = jax.lax.reduce_window(
+                    codes, jnp.zeros((), jnp.uint8), jax.lax.max,
+                    (3, 3, 1), (1, 1, 1), "SAME")
+            else:
+                pooled = jax.lax.reduce_window(
+                    codes, -jnp.inf, jax.lax.max,
+                    (3, 3, 1), (1, 1, 1), "SAME")
+            # the sampled pool ships RAW (uint8 when quantized): the
+            # dequantize + max-with-raw-codes runs on the HOST with the
+            # same numpy ops as the host-merge path — XLA rewrites /255
+            # into a reciprocal multiply (one-ulp off the host's
+            # correctly-rounded divide), which would break the bit-exact
+            # fused-vs-host gate
+            outs = []
+            for packed, offs in chunks:
+                xs = (packed[..., 1].astype(jnp.int32)
+                      + offs[:, 0:1] // SCALE)
+                ys = (packed[..., 2].astype(jnp.int32)
+                      + offs[:, 1:2] // SCALE)
+                outs.append(pooled[ys, xs])
+            return tuple(outs), mosaic[..., 0], mosaic[..., 1], codes
+
+        self._detect_page_merge0 = None
+        self._detect_page_merge = None
+        self._finish_page = None
         if mesh is None:
             self._detect = jax.jit(_detect)
             self._detect_page = jax.jit(_detect_page)
+            if ic.fused_page_merge:
+                self._detect_page_merge0 = jax.jit(
+                    lambda v, p, o, b: _detect_page_merge(v, p, o, b,
+                                                          None))
+                self._detect_page_merge = jax.jit(_detect_page_merge)
+                self._finish_page = jax.jit(_finish_page)
         else:
             # weights replicated, tile batch split over the data axis
             self._detect = jax.jit(_detect,
@@ -733,76 +825,141 @@ class OCRPipeline:
         mh, mw = H // SCALE, W // SCALE
         ms = tile // SCALE
 
-        lines_all = np.zeros((mh, mw), np.float32)
-        seps_all = np.zeros((mh, mw), np.float32)
-        codes_all = np.zeros((mh, mw, 4), np.float32)
-        locations: List[np.ndarray] = []
-        glyphfeats: List[np.ndarray] = []
+        locations: List[np.ndarray] = [np.stack(pre_locs)] if pre_locs \
+            else []
+        glyphfeats: List[np.ndarray] = ([np.stack(pre_feats)]
+                                        if pre_feats else [])
 
         # dispatch every chunk up front: jax dispatch is async, so the
         # device works through the queue while the host merges earlier
         # chunks (the in-order stream keeps results sequential). The
-        # page uploads once; tiles are cut on-device (_detect_page);
+        # page uploads once — as a SINGLE channel when the page is
+        # grayscale-in-RGB (every book scan; 3x less upload), broadcast
+        # back on-device — and tiles are cut on-device (_detect_page);
         # the trailing chunk runs in a small power-of-two bucket instead
         # of padding to the full compiled batch (_chunk_sizes).
-        page_dev = jnp.asarray(img)
+        gray = bool((img[..., 0] == img[..., 1]).all()
+                    and (img[..., 0] == img[..., 2]).all())
+        page_dev = jnp.asarray(img[..., 0] if gray else img)
+        fused = self._detect_page_merge is not None
         pending = []
+        mosaic = None
         i0 = 0
         for size in self._chunk_sizes(len(offs)):
             n = min(size, len(offs) - i0)
-            coffs = offs[i0:i0 + n] + [(0, 0)] * (size - n)
-            cbounds = bounds[i0:i0 + n] + [(0, 0, 0, 0)] * (size - n)
-            packed, feat, cmaps = self._detect_page(
-                self.det_vars, page_dev,
-                jnp.asarray(np.asarray(coffs, np.int32)),
-                jnp.asarray(np.asarray(cbounds, np.int32)))
+            coffs = jnp.asarray(np.asarray(
+                offs[i0:i0 + n] + [(0, 0)] * (size - n), np.int32))
+            cbounds = jnp.asarray(np.asarray(
+                bounds[i0:i0 + n] + [(0, 0, 0, 0)] * (size - n),
+                np.int32))
+            if not fused:
+                packed, feat, cmaps = self._detect_page(
+                    self.det_vars, page_dev, coffs, cbounds)
+            elif mosaic is None:
+                packed, feat, mosaic = self._detect_page_merge0(
+                    self.det_vars, page_dev, coffs, cbounds)
+                cmaps = None
+            else:
+                packed, feat, mosaic = self._detect_page_merge(
+                    self.det_vars, page_dev, coffs, cbounds, mosaic)
+                cmaps = None
             # start the bulk readbacks streaming immediately; the merge
             # loop below consumes them in dispatch order
             for a in (packed, feat, cmaps):
                 if hasattr(a, "copy_to_host_async"):
                     a.copy_to_host_async()
-            pending.append((i0, n, packed, feat, cmaps))
+            pending.append((i0, n, packed, feat, cmaps, coffs))
             i0 += n
 
-        for i0, n, packed, feat, cmaps in pending:
+        codes_all = codes_mosaic = None
+        chunk_codes = [None] * len(pending)
+        if fused:
+            # one more dispatch closes the page: device-side 3x3 code
+            # max-pool sampling at every peak + the 2-channel line/sep
+            # mosaic readback. The 4-channel code mosaic stays on device
+            # unless the (rare) two-pass pre-detections need host
+            # sampling below.
+            chunk_codes, lines_dev, seps_dev, codes_mosaic = \
+                self._finish_page(
+                    mosaic,
+                    tuple((p, o) for _, _, p, _, _, o in pending))
+            for a in (*chunk_codes, lines_dev, seps_dev):
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
+
+            def dq(a):
+                a = np.asarray(a)
+                return (a.astype(np.float32) / 255.0
+                        if a.dtype == np.uint8 else a)
+
+            lines_all, seps_all = dq(lines_dev), dq(seps_dev)
+        else:
+            lines_all = np.zeros((mh, mw), np.float32)
+            seps_all = np.zeros((mh, mw), np.float32)
+            codes_all = np.zeros((mh, mw, 4), np.float32)
+
+        for (i0, n, packed, feat, cmaps, _), cds in zip(pending,
+                                                        chunk_codes):
             peaks = self._fetch_peaks(packed, feat)
-            maps = np.asarray(cmaps)
-            if maps.dtype == np.uint8:
-                maps = maps.astype(np.float32) / 255.0
+            if cds is not None:
+                cds = np.asarray(cds)
+                if cds.dtype == np.uint8:
+                    cds = cds.astype(np.float32) / 255.0
+                peaks["codes"] = np.maximum(peaks["codes"], cds)
+            else:
+                maps = np.asarray(cmaps)
+                if maps.dtype == np.uint8:
+                    maps = maps.astype(np.float32) / 255.0
+                for bi in range(n):
+                    x, y = offs[i0 + bi]
+                    xs, ys = x // SCALE, y // SCALE
+                    sl = np.s_[ys:ys + ms, xs:xs + ms]
+                    # maps arrive pre-masked by the ownership region
+                    np.maximum(lines_all[sl], maps[bi, ..., 0],
+                               out=lines_all[sl])
+                    np.maximum(seps_all[sl], maps[bi, ..., 1],
+                               out=seps_all[sl])
+                    np.maximum(codes_all[sl], maps[bi, ..., 2:6],
+                               out=codes_all[sl])
 
-            for bi in range(n):
-                x, y = offs[i0 + bi]
-                xs, ys = x // SCALE, y // SCALE
-                sl = np.s_[ys:ys + ms, xs:xs + ms]
-                # maps arrive pre-masked by the ownership region
-                np.maximum(lines_all[sl], maps[bi, ..., 0],
-                           out=lines_all[sl])
-                np.maximum(seps_all[sl], maps[bi, ..., 1],
-                           out=seps_all[sl])
-                np.maximum(codes_all[sl], maps[bi, ..., 2:6],
-                           out=codes_all[sl])
+            # vectorized peak extraction (row-major over (tile, peak)
+            # preserves the per-tile, per-peak emit order of the old
+            # python loop bit-for-bit)
+            offc = np.asarray(offs[i0:i0 + n], np.int64)
+            w = peaks["w"][:n]
+            h = peaks["h"][:n]
+            ok = (peaks["valid"][:n] & (w > 0) & (h > 0)
+                  & (w <= W) & (h <= H))
+            if ok.any():
+                ix = (peaks["x"][:n].astype(np.int64) * SCALE
+                      + offc[:, 0:1])
+                iy = (peaks["y"][:n].astype(np.int64) * SCALE
+                      + offc[:, 1:2])
+                rows = np.concatenate([
+                    peaks["score"][:n][..., None],
+                    ix[..., None].astype(np.float32),
+                    iy[..., None].astype(np.float32),
+                    w[..., None], h[..., None],
+                    peaks["codes"][:n],
+                ], axis=-1).astype(np.float32)
+                locations.append(rows[ok])
+                glyphfeats.append(peaks["feature"][:n][ok])
 
-                valid = peaks["valid"][bi]
-                for pi in np.where(valid)[0]:
-                    w = float(peaks["w"][bi, pi])
-                    h = float(peaks["h"][bi, pi])
-                    if w <= 0 or h <= 0 or w > W or h > H:
-                        continue
-                    ix = int(peaks["x"][bi, pi]) * SCALE + x
-                    iy = int(peaks["y"][bi, pi]) * SCALE + y
-                    locations.append(np.array(
-                        [peaks["score"][bi, pi], ix, iy, w, h,
-                         *peaks["codes"][bi, pi]], np.float32))
-                    glyphfeats.append(peaks["feature"][bi, pi])
-
-        locations = pre_locs + locations
-        glyphfeats = pre_feats + glyphfeats
-        if not locations:
+        if not locations or not sum(len(a) for a in locations):
             return DetectedPage(np.zeros((0, 9), np.float32),
                                 np.zeros((0, FEATURE_DIM), np.float32),
                                 lines_all, seps_all)
-        loc = np.stack(locations)
-        feats = np.stack(glyphfeats).astype(np.float32)
+        loc = np.concatenate(locations).astype(np.float32)
+        feats = np.concatenate(glyphfeats).astype(np.float32)
+        if fused and pre_locs:
+            # two-pass pre-detections were never device-sampled: fetch
+            # the code mosaic (kept on device otherwise) and apply the
+            # same host 3x3 max-pool to those rows only
+            cm = np.asarray(codes_mosaic)
+            if cm.dtype == np.uint8:
+                cm = cm.astype(np.float32) / 255.0
+            loc[:len(pre_locs)] = self._sample_codes_host(
+                cm, loc[:len(pre_locs)])
         loc, feats = self._filter_boxes(loc, feats, img, lines_all, seps_all,
                                         codes_all)
         return DetectedPage(loc, feats, lines_all, seps_all)
@@ -909,8 +1066,19 @@ class OCRPipeline:
         keep2 = np.asarray(keep2)
         loc, feats = loc[keep2], feats[keep2]
 
-        # code probability 3x3 max-pool at each box center (clipped
-        # neighbor gather == edge-clipped window max)
+        # code probability 3x3 max-pool at each box center (skipped when
+        # the fused page path already sampled codes on device —
+        # codes_all is None then)
+        if codes_all is not None:
+            loc = self._sample_codes_host(codes_all, loc)
+        return loc, feats
+
+    @staticmethod
+    def _sample_codes_host(codes_all, loc):
+        """max(raw codes, clipped 3x3 neighborhood of the merged code
+        map) at each box center — the host twin of the device-side
+        sampling in ``_finish_page`` (clipped neighbor gather ==
+        edge-clipped window max)."""
         mh, mw = codes_all.shape[:2]
         xs = (loc[:, 1] / SCALE).astype(int)
         ys = (loc[:, 2] / SCALE).astype(int)
@@ -924,7 +1092,7 @@ class OCRPipeline:
                     m = np.maximum(
                         m, codes_all[yy, np.clip(xc + dx, 0, mw - 1)])
             loc[inb, 5:9] = m
-        return loc, feats
+        return loc
 
     # ------------------------------------------------------------------
     # stage 2: reading order

@@ -159,6 +159,40 @@ def test_twopass_detection(tiny_pipeline):
         assert (page.locations[:, 2] <= 715).all()
 
 
+def test_fused_page_merge_matches_host_merge(tiny_pipeline):
+    """The device-side page-mosaic merge + 3x3 code sampling
+    (InferenceConfig.fused_page_merge) is bit-exact with the host merge
+    path on both a grayscale-in-RGB page (single-channel upload fast
+    path) and a genuinely colored page."""
+    host_pipe = OCRPipeline(
+        dataclasses.replace(
+            tiny_pipeline.cfg,
+            inference=dataclasses.replace(
+                tiny_pipeline.cfg.inference, fused_page_merge=False)),
+        detector_variables=tiny_pipeline.det_vars,
+        transformer_variables=tiny_pipeline.tf_vars,
+        model_size="tiny")
+    rng = np.random.default_rng(1)
+
+    gray = np.full((420, 610, 3), 255, np.uint8)
+    for i in range(7):
+        x = 40 + 80 * i
+        gray[60:95, x:x + 35] = int(rng.integers(0, 40))
+        gray[200:240, x:x + 40] = int(rng.integers(0, 40))
+    color = gray.copy()
+    color[..., 2] = np.clip(color[..., 2].astype(int) + 7,
+                            0, 255).astype(np.uint8)
+
+    for img, twopass in ((gray, False), (color, False), (gray, True)):
+        a = tiny_pipeline.run_detector(img, twopass=twopass)
+        b = host_pipe.run_detector(img, twopass=twopass)
+        np.testing.assert_array_equal(a.locations, b.locations)
+        np.testing.assert_array_equal(a.features, b.features)
+        np.testing.assert_array_equal(a.lines, b.lines)
+        np.testing.assert_array_equal(a.seps, b.seps)
+        assert len(a.locations), "empty page proves nothing"
+
+
 def test_batch_hist_contrast_matches_scalar():
     from findtextcenternet_tpu.infer.pipeline import (
         batch_hist_contrast, image_hist_contrast)
