@@ -207,6 +207,40 @@ def test_transformer_dp_tp_train_step_mesh_aot(v5e_sharding):
     assert mem["total_gb"] < V5E_HBM_GB, mem
 
 
+def test_fused_page_merge_tpu_aot(v5e_sharding):
+    """The fused page path (device mosaic merge + 3x3 code sampling,
+    pipeline.py _detect_page_merge/_finish_page) compiles through the
+    real XLA:TPU pipeline: uint8 max reduce_window, the fori_loop of
+    overlapping dynamic_update_slices, the (B,K) gather from the pooled
+    mosaic, and the Pallas peaks kernel all lower for v5e. Model size
+    's' keeps the conv stack cheap — the new ops are identical across
+    sizes (the xl conv stack itself is gated by
+    test_xl_detector_dp_train_step_mesh_aot)."""
+    from findtextcenternet_tpu.config import Config
+    from findtextcenternet_tpu.infer.pipeline import OCRPipeline
+
+    s = v5e_sharding
+    pipe = OCRPipeline(Config(), model_size="s", seed=0)
+    assert pipe._detect_page_merge0 is not None
+
+    det_sds = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype, sharding=s),
+        pipe.det_vars)
+    page = jax.ShapeDtypeStruct((1460, 2064), jnp.uint8, sharding=s)
+    offs8 = jax.ShapeDtypeStruct((8, 2), jnp.int32, sharding=s)
+    bounds8 = jax.ShapeDtypeStruct((8, 4), jnp.int32, sharding=s)
+    pipe._detect_page_merge0.lower(det_sds, page, offs8, bounds8
+                                   ).compile()
+
+    K = pipe.cfg.inference.max_peaks_per_tile
+    mosaic = jax.ShapeDtypeStruct((365, 516, 6), jnp.uint8, sharding=s)
+    chunks = tuple(
+        (jax.ShapeDtypeStruct((b, K, 10), jnp.float32, sharding=s),
+         jax.ShapeDtypeStruct((b, 2), jnp.int32, sharding=s))
+        for b in (8, 4))
+    pipe._finish_page.lower(mosaic, chunks).compile()
+
+
 def test_peaks_kernel_mosaic_lowering(v5e_sharding):
     from findtextcenternet_tpu.ops.pallas_kernels import nms_sigmoid_masked
     s = v5e_sharding
