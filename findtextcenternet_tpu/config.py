@@ -135,6 +135,21 @@ class InferenceConfig:
     # land exactly on engine thresholds and the quantization delta
     # (not a logic difference) would flip knife-edge comparisons
     quantize_maps: bool = True
+    # single-chip fast path: glyph features never leave the device. The
+    # per-chunk (B, K, feature_dim) f16 feature buffers stay resident,
+    # the host tracks only int indices through filter/line-engine/
+    # windowing, and the decode graph gathers the rows on device —
+    # eliminating the dominant per-page readback (~2.5 MB f16 per 12-tile
+    # page on a ~22 MB/s tunnel link) AND its re-upload at decode time.
+    # Bit-exact with the readback path: the f16 buffer is the same
+    # detector output, and f16->f32 casting commutes with the gather
+    # (tests/test_device_features.py). Host code that genuinely needs
+    # the values (harvest, annotate) materializes via np.asarray, which
+    # reads back only the KEPT rows (~8x less than the full buffers).
+    # Applies to the live single-chip fused path only (exported/ONNX/
+    # CoreML backends decode through fixed-signature artifacts; the
+    # mesh path shards the tile batch, keeping the host merge).
+    device_features: bool = True
     # single-chip fast path: merge the per-tile line/sep/code maps into
     # one page mosaic ON DEVICE and sample the 3x3 code max-pool there,
     # so only the 2-channel line/sep mosaic ships to the host instead of

@@ -44,6 +44,9 @@ class FeatureHarvester:
         det = self.pipeline.run_detector(rgb)
         if len(det.locations) == 0:
             return 0
+        # one materialization for the whole page (device-resident
+        # features read back only the kept rows)
+        det_feats = np.asarray(det.features)
         order = self.pipeline.run_line_engine(det)
         vert_of = {int(r[0]): bool(r[4] & 1) for r in order}
 
@@ -61,7 +64,7 @@ class FeatureHarvester:
             code = int(gt_codes[j, 0])
             kind = "v" if vert_of.get(i, False) else "h"
             self._banks.setdefault(f"{kind}{code:08x}", []).append(
-                det.features[i])
+                det_feats[i])
             matched += 1
         return matched
 

@@ -162,9 +162,80 @@ def batch_hist_contrast(img: np.ndarray, rects: np.ndarray) -> np.ndarray:
 @dataclasses.dataclass
 class DetectedPage:
     locations: np.ndarray      # (N, 9): score, cx, cy, w, h, code1..4
-    features: np.ndarray       # (N, FEATURE_DIM)
+    features: np.ndarray      # (N, FEATURE_DIM) — or LazyFeatures view
     lines: np.ndarray          # page textline prob map (H/4, W/4)
     seps: np.ndarray           # page separator prob map
+
+
+# flat f16 row gather + f32 cast, on device. jit caches per (buffer,
+# index-bucket) shape; LazyFeatures pads indices to a power-of-two
+# bucket so page-to-page variation in kept-box count reuses graphs.
+_GATHER_F32 = jax.jit(lambda F, i: F[i].astype(jnp.float32))
+# flatten + concatenate the per-chunk (B, K, fdim) buffers into the
+# page feature matrix, once per page (one async dispatch)
+_CONCAT_FEATS = jax.jit(
+    lambda *bufs: jnp.concatenate(
+        [b.reshape(-1, b.shape[-1]) for b in bufs], 0))
+
+
+class LazyFeatures:
+    """Device-resident glyph features addressed by host-side indices.
+
+    ``dev`` is the page's flat (N, feature_dim) f16 buffer on device;
+    ``idx`` the int64 row indices of this view. Filtering/reordering
+    stages only ever index rows (``feats[keep]``), which here costs a
+    numpy index-array slice; the values cross the link only if a
+    consumer materializes (``np.asarray``) — and then only the kept
+    rows. The decode path never materializes: it ships the indices and
+    gathers inside the decode graph (InferenceConfig.device_features).
+    """
+
+    ndim = 2
+
+    def __init__(self, dev, idx):
+        self.dev = dev
+        self.idx = np.asarray(idx, np.int64).reshape(-1)
+
+    @property
+    def shape(self):
+        return (len(self.idx), int(self.dev.shape[-1]))
+
+    def __len__(self):
+        return len(self.idx)
+
+    def __getitem__(self, k):
+        return LazyFeatures(self.dev, self.idx[k])
+
+    def __array__(self, dtype=None, copy=None):
+        n = len(self.idx)
+        fdim = int(self.dev.shape[-1])
+        if n == 0:
+            out = np.zeros((0, fdim), np.float32)
+        else:
+            b = 1
+            while b < n:
+                b *= 2
+            pad = np.zeros(b, np.int64)
+            pad[:n] = self.idx
+            out = np.asarray(_GATHER_F32(self.dev, jnp.asarray(pad)))[:n]
+        return out.astype(dtype) if dtype is not None else out
+
+    def astype(self, dtype):
+        return np.asarray(self).astype(dtype)
+
+
+class FeatureStream(np.ndarray):
+    """Encoder stream whose glyph-feature columns live on device.
+
+    A plain (total, enc_dim) f32 array view — the host-computed flag /
+    separator columns are real; the [:feature_dim] block of glyph rows
+    is zero, with ``glyph_idx`` (total,) int64 mapping each row to its
+    row in ``glyph_dev`` (-1 for separator rows). ``decode_windows``
+    ships the indices and gathers on device.
+    """
+
+    glyph_idx: Optional[np.ndarray] = None
+    glyph_dev = None
 
 
 class OCRPipeline:
@@ -226,6 +297,14 @@ class OCRPipeline:
 
         mp = config.mask_predict
         ic = config.inference
+
+        # device-resident glyph features: live single-chip fused path
+        # only (exported/ONNX/CoreML decode_fns are fixed-signature
+        # artifacts; the mesh path keeps the host merge) — see
+        # InferenceConfig.device_features
+        self._lazy_features = bool(
+            ic.device_features and ic.fused_page_merge
+            and mesh is None and decode_fn is None)
 
         self.mesh = mesh
         self._min_bucket = 1
@@ -462,6 +541,7 @@ class OCRPipeline:
                                    in_shardings=(repl, data),
                                    out_shardings=data)
         self._decode_cache: Dict[int, object] = {}
+        self._decode_lazy_cache: Dict[Optional[int], object] = {}
 
     def _decode_for(self, seq_len: int):
         """Jitted decode graph at a bucketed sequence length (cached
@@ -481,6 +561,29 @@ class OCRPipeline:
                 self._decode_cache[seq_len] = jax.jit(
                     fn, in_shardings=(repl, data), out_shardings=data)
         return self._decode_cache[seq_len]
+
+    def _decode_lazy_for(self, seq_len: int):
+        """Decode graph that gathers device-resident glyph features:
+        ``fn(vars, enc_extras, F, idx)`` where ``enc_extras`` is the
+        host-built (b, s, enc_dim) batch with zeros in the glyph rows'
+        feature columns, ``F`` the page's (N, fdim) f16 buffer, and
+        ``idx`` (b, s) int32 rows (-1 = keep the host columns: start /
+        end / separator markers). Cached per bucketed length like
+        :meth:`_decode_for`; live-model path only."""
+        full = seq_len >= self.transformer.dims.max_dec_seq_len
+        key = None if full else seq_len
+        if key not in self._decode_lazy_cache:
+            base = self._make_decode_fn(key)
+
+            def fn(variables, enc, F, idx):
+                fd = F.shape[-1]
+                g = F[jnp.clip(idx, 0)].astype(enc.dtype)
+                feat = jnp.where(idx[..., None] >= 0, g, enc[..., :fd])
+                return base(variables,
+                            jnp.concatenate([feat, enc[..., fd:]], -1))
+
+            self._decode_lazy_cache[key] = jax.jit(fn)
+        return self._decode_lazy_cache[key]
 
     # ------------------------------------------------------------------
     @classmethod
@@ -689,7 +792,7 @@ class OCRPipeline:
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _fetch_peaks(packed, feat_dev) -> Dict[str, np.ndarray]:
+    def _fetch_peaks(packed, feat_dev=None) -> Dict[str, np.ndarray]:
         """Unpack the single (B, K, 10) peak readback plus the f16
         feature buffer. The features read back whole: an earlier design
         sliced ``feat_dev[:, :kmax]`` on device to ship only the valid
@@ -697,9 +800,11 @@ class OCRPipeline:
         producing a buffer that was never host-mirrored — measured ~200
         ms per page on the axon link, versus ~0 for ``np.asarray`` of a
         result whose ``copy_to_host_async`` started at dispatch time
-        (run_detector kicks those off for every chunk output)."""
+        (run_detector kicks those off for every chunk output).
+        ``feat_dev=None`` (the device_features path) skips the feature
+        readback entirely — the buffer stays device-resident."""
         packed = np.asarray(packed)
-        return {
+        out = {
             "score": packed[..., 0],
             "x": packed[..., 1].astype(np.int32),
             "y": packed[..., 2].astype(np.int32),
@@ -707,8 +812,10 @@ class OCRPipeline:
             "h": packed[..., 4],
             "codes": packed[..., 5:9],
             "valid": packed[..., 9] > 0.5,
-            "feature": np.asarray(feat_dev),
         }
+        if feat_dev is not None:
+            out["feature"] = np.asarray(feat_dev)
+        return out
 
     def _chunk_sizes(self, n: int) -> List[int]:
         """Split ``n`` tiles into compiled-batch chunks: full
@@ -785,6 +892,13 @@ class OCRPipeline:
                      constant_values=255)
         H, W = img.shape[:2]
 
+        # device-resident glyph features: collect the per-chunk f16
+        # buffers + integer row indices instead of reading values back
+        # (InferenceConfig.device_features)
+        lazy = self._lazy_features
+        featbufs: List = []
+        feat_base = 0
+
         # two-pass: a whole-page low-resolution pre-pass catches characters
         # larger than one tile; its detections (scaled back) are merged
         # before dedup (`/root/reference/test_image1_torch.py:313-333`)
@@ -808,7 +922,10 @@ class OCRPipeline:
             packed1, feat1, _ = self._detect_page(
                 self.det_vars, jnp.asarray(im1),
                 jnp.zeros((B1, 2), jnp.int32), jnp.asarray(bounds1))
-            peaks = self._fetch_peaks(packed1, feat1)
+            peaks = self._fetch_peaks(packed1, None if lazy else feat1)
+            if lazy:
+                featbufs.append(feat1)
+                feat_base = int(feat1.shape[0]) * int(feat1.shape[1])
             for pi in np.where(peaks["valid"][0])[0]:
                 w0 = float(peaks["w"][0, pi]) * s
                 h0 = float(peaks["h"][0, pi]) * s
@@ -821,14 +938,19 @@ class OCRPipeline:
                 pre_locs.append(np.array(
                     [peaks["score"][0, pi], ix, iy, w0, h0,
                      *peaks["codes"][0, pi]], np.float32))
-                pre_feats.append(peaks["feature"][0, pi])
+                # lazy: record the flat device-buffer row (tile 0 of
+                # the pre-pass chunk, base 0) instead of the value
+                pre_feats.append(int(pi) if lazy
+                                 else peaks["feature"][0, pi])
         mh, mw = H // SCALE, W // SCALE
         ms = tile // SCALE
 
         locations: List[np.ndarray] = [np.stack(pre_locs)] if pre_locs \
             else []
-        glyphfeats: List[np.ndarray] = ([np.stack(pre_feats)]
-                                        if pre_feats else [])
+        glyphfeats: List[np.ndarray] = []
+        if pre_feats:
+            glyphfeats.append(np.asarray(pre_feats, np.int64) if lazy
+                              else np.stack(pre_feats))
 
         # dispatch every chunk up front: jax dispatch is async, so the
         # device works through the queue while the host merges earlier
@@ -864,8 +986,12 @@ class OCRPipeline:
                     self.det_vars, page_dev, coffs, cbounds, mosaic)
                 cmaps = None
             # start the bulk readbacks streaming immediately; the merge
-            # loop below consumes them in dispatch order
-            for a in (packed, feat, cmaps):
+            # loop below consumes them in dispatch order. The feature
+            # buffer is the dominant readback (B x K x fdim f16) — in
+            # lazy mode it never crosses the link at all
+            if lazy:
+                featbufs.append(feat)
+            for a in ((packed, cmaps) if lazy else (packed, feat, cmaps)):
                 if hasattr(a, "copy_to_host_async"):
                     a.copy_to_host_async()
             pending.append((i0, n, packed, feat, cmaps, coffs))
@@ -900,7 +1026,7 @@ class OCRPipeline:
 
         for (i0, n, packed, feat, cmaps, _), cds in zip(pending,
                                                         chunk_codes):
-            peaks = self._fetch_peaks(packed, feat)
+            peaks = self._fetch_peaks(packed, None if lazy else feat)
             if cds is not None:
                 cds = np.asarray(cds)
                 if cds.dtype == np.uint8:
@@ -943,14 +1069,29 @@ class OCRPipeline:
                     peaks["codes"][:n],
                 ], axis=-1).astype(np.float32)
                 locations.append(rows[ok])
-                glyphfeats.append(peaks["feature"][:n][ok])
+                if lazy:
+                    # np.nonzero is row-major over (tile, peak) — the
+                    # same order rows[ok] flattens in
+                    ti, pk = np.nonzero(ok)
+                    K = int(feat.shape[1])
+                    glyphfeats.append(feat_base + ti * K + pk)
+                else:
+                    glyphfeats.append(peaks["feature"][:n][ok])
+            if lazy:
+                feat_base += int(feat.shape[0]) * int(feat.shape[1])
 
         if not locations or not sum(len(a) for a in locations):
             return DetectedPage(np.zeros((0, 9), np.float32),
                                 np.zeros((0, FEATURE_DIM), np.float32),
                                 lines_all, seps_all)
         loc = np.concatenate(locations).astype(np.float32)
-        feats = np.concatenate(glyphfeats).astype(np.float32)
+        if lazy:
+            # one async dispatch flattens the chunk buffers into the
+            # page feature matrix; values stay on device from here on
+            feats = LazyFeatures(_CONCAT_FEATS(*featbufs),
+                                 np.concatenate(glyphfeats))
+        else:
+            feats = np.concatenate(glyphfeats).astype(np.float32)
         if fused and pre_locs:
             # two-pass pre-detections were never device-sampled: fetch
             # the code mosaic (kept on device otherwise) and apply the
@@ -1161,7 +1302,9 @@ class OCRPipeline:
         total = int(pos[-1]) + 1
 
         out = np.zeros((total, enc_dim), np.float32)
-        out[pos, :fdim] = glyphfeatures[bid]
+        lazy = isinstance(glyphfeatures, LazyFeatures)
+        if not lazy:
+            out[pos, :fdim] = glyphfeatures[bid]
         out[pos, fdim:] = 5 * np.stack(
             [vert, rubybase, ruby, space, emphasis,
              np.zeros_like(vert)], 1)
@@ -1178,6 +1321,15 @@ class OCRPipeline:
         fi = np.full((total, 5), -1, np.int64)
         fi[pos] = rows[:, :5]
         feature_idx = list(map(tuple, fi.tolist()))
+        if lazy:
+            # glyph-feature columns stay zero on the host; the stream
+            # carries device-buffer row indices instead, and
+            # decode_windows gathers them inside the decode graph
+            out = out.view(FeatureStream)
+            gidx = np.full(total, -1, np.int64)
+            gidx[pos] = glyphfeatures.idx[bid]
+            out.glyph_idx = gidx
+            out.glyph_dev = glyphfeatures.dev
         return out, feature_idx
 
     @staticmethod
@@ -1316,9 +1468,17 @@ class OCRPipeline:
         # so the device works through the queue back-to-back.
         cap = max(self._min_bucket,
                   int(self.cfg.inference.decode_max_batch))
+        # device-resident features: ship (bucket, s_len) int32 indices
+        # into the page's device feature matrix instead of the gathered
+        # values; the decode graph does the gather (bit-exact: the f16
+        # buffer is the same detector output the host path reads back,
+        # and f16->f32 casting commutes with the gather)
+        gidx = getattr(features, "glyph_idx", None)
+        lazy = gidx is not None and self._make_decode_fn is not None
         pending = []
         for s_len, idxs in sorted(groups.items()):
-            decode = self._decode_for(s_len)
+            decode = (self._decode_lazy_for(s_len) if lazy
+                      else self._decode_for(s_len))
             for c0 in range(0, len(idxs), cap):
                 chunk = idxs[c0:c0 + cap]
                 cn = len(chunk)
@@ -1326,16 +1486,26 @@ class OCRPipeline:
                 while bucket < cn:
                     bucket *= 2
                 batch = np.zeros((bucket, s_len, enc_dim), np.float32)
+                idxb = np.full((bucket, s_len), -1, np.int32)
                 for bi, wi in enumerate(chunk):
                     _, ci, cj, _ = windows[wi]
                     batch[bi, 0] = sp
                     batch[bi, 1:1 + cj - ci] = features[ci:cj]
                     batch[bi, 1 + cj - ci] = -sp
+                    if lazy:
+                        idxb[bi, 1:1 + cj - ci] = gidx[ci:cj]
                 # padding rows copy the first window: a fully-masked
                 # encoder row would NaN its attention and defeat the
                 # early-exit test
                 batch[cn:] = batch[0]
-                chunk_codes, _ = decode(self.tf_vars, jnp.asarray(batch))
+                if lazy:
+                    idxb[cn:] = idxb[0]
+                    chunk_codes, _ = decode(
+                        self.tf_vars, jnp.asarray(batch),
+                        features.glyph_dev, jnp.asarray(idxb))
+                else:
+                    chunk_codes, _ = decode(self.tf_vars,
+                                            jnp.asarray(batch))
                 pending.append((chunk, chunk_codes))
 
         texts: List[str] = [""] * len(windows)

@@ -50,7 +50,7 @@ def process_image1(pipeline, image_path: str,
     # per-box CRT decode via the aux SimpleDecoder when available
     if getattr(pipeline, "simple_decoder_vars", None) is not None:
         model, variables = pipeline.simple_decoder_vars
-        outs = model.apply(variables, page.features)
+        outs = model.apply(variables, np.asarray(page.features))
         preds = [np.asarray(o.argmax(-1)) for o in outs]
         codes = crt.decode(*preds)
         for i, tb in enumerate(textboxes):
