@@ -179,11 +179,24 @@ def _timed(fn):
 def main():
     if os.environ.get("BENCH_PROBE", "1") != "0":
         if not wait_for_device(float(os.environ.get("BENCH_PROBE_MINS",
-                                                    "15"))):
+                                                    "30"))):
             # a wedged axon tunnel hangs every op indefinitely, and the
             # xl model is not CPU-benchable on this 1-core box: emit an
             # explicit zero-measurement line instead of hanging the
-            # driver with no JSON at all
+            # driver with no JSON at all. The last good in-round capture
+            # rides along (clearly labeled, value stays 0.0) so a
+            # link-down round still points at real dated numbers.
+            last_good = {}
+            cap = os.path.join(os.path.dirname(__file__) or ".",
+                               "docs", "bench_r4_inround.json")
+            try:
+                with open(cap) as f:
+                    for ln in f:
+                        if ln.startswith("{"):
+                            last_good = json.loads(ln)
+                            break
+            except Exception:
+                pass
             print(json.dumps({
                 "metric": "ocr_e2e_768px_tiles_per_sec_per_chip",
                 "value": 0.0,
@@ -191,8 +204,10 @@ def main():
                 "vs_baseline": 0.0,
                 "device": "tunnel_down_no_measurement",
                 "note": "axon tunnel unreachable for the whole probe "
-                        "budget; see BENCH history for last-good chip "
-                        "numbers",
+                        "budget; last_good_capture is the most recent "
+                        "healthy-tunnel measurement (docs/"
+                        "bench_r4_inround.json, dated in docs)",
+                **({"last_good_capture": last_good} if last_good else {}),
             }))
             return
     train_stats = {}
