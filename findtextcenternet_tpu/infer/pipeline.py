@@ -237,6 +237,17 @@ class FeatureStream(np.ndarray):
     glyph_idx: Optional[np.ndarray] = None
     glyph_dev = None
 
+    def __array_finalize__(self, obj):
+        # Derived arrays (slices, copies, astype, concatenate results)
+        # deliberately do NOT inherit glyph_idx/glyph_dev: a transformed
+        # view's rows no longer line up with the device buffer, so
+        # propagating the attributes would gather the wrong glyph rows.
+        # They stay at the class defaults (None); decode_windows raises
+        # on a FeatureStream whose indices were lost rather than
+        # silently decoding the zero glyph columns.
+        self.glyph_idx = None
+        self.glyph_dev = None
+
 
 class OCRPipeline:
     def __init__(self, config: Config = Config(),
@@ -1333,6 +1344,31 @@ class OCRPipeline:
         return out, feature_idx
 
     @staticmethod
+    def _ruby_expansion(features: np.ndarray, i0: int, i1: int) -> int:
+        """Estimated extra decode tokens from ruby markup in rows [i0,i1).
+
+        One shared copy of the reference's budget state machine
+        (`/root/reference/process_ocr_base.py:186-203`): each ruby glyph
+        (col -3) adds one output char, and each rubybase group opening
+        (col -5 rising while outside a group, closed when col -4 returns
+        to 0) adds the 3 bracket markers. Used by both ``split_windows``
+        (window sizing) and ``decode_windows`` (bucket sizing) so the
+        two can never drift apart.
+        """
+        r, s = 0, 0
+        for k in range(i0, i1):
+            if features[k, -3] > 0:
+                r += 1
+            if s == 0 and features[k, -5] > 0:
+                r += 3
+                s = 1
+            elif s == 1 and features[k, -4] > 0:
+                s = 2
+            elif s == 2 and features[k, -4] == 0:
+                s = 0
+        return r
+
+    @staticmethod
     def split_windows(features: np.ndarray,
                       max_enc_len: int = MAX_ENCODER_LEN
                       ) -> List[Tuple[int, int, int, int]]:
@@ -1347,17 +1383,8 @@ class OCRPipeline:
         n = features.shape[0]
         cur_i, prev_j, keep_back = 0, 0, 0
         while cur_i < n:
-            r, s = 0, 0
-            for k in range(cur_i, min(cur_i + max_enc_len - 3, n)):
-                if features[k, -3] > 0:
-                    r += 1
-                if s == 0 and features[k, -5] > 0:
-                    r += 3
-                    s = 1
-                elif s == 1 and features[k, -4] > 0:
-                    s = 2
-                elif s == 2 and features[k, -4] == 0:
-                    s = 0
+            r = OCRPipeline._ruby_expansion(
+                features, cur_i, min(cur_i + max_enc_len - 3, n))
             cur_j = min(n, cur_i + (max_enc_len - 3 - r))
             for j in range(cur_i + 1, cur_j):
                 if features[j, -6] != features[cur_i, -6]:
@@ -1434,17 +1461,7 @@ class OCRPipeline:
         buckets_cfg = tuple(sorted(self.cfg.inference.decode_len_buckets))
 
         def seq_need(ci: int, cj: int) -> int:
-            r, s = 0, 0
-            for k in range(ci, cj):
-                if features[k, -3] > 0:
-                    r += 1
-                if s == 0 and features[k, -5] > 0:
-                    r += 3
-                    s = 1
-                elif s == 1 and features[k, -4] > 0:
-                    s = 2
-                elif s == 2 and features[k, -4] == 0:
-                    s = 0
+            r = self._ruby_expansion(features, ci, cj)
             return max(cj - ci + 2, min(enc_len, cj - ci + r + 3))
 
         groups: Dict[int, List[int]] = {}
@@ -1474,6 +1491,18 @@ class OCRPipeline:
         # buffer is the same detector output the host path reads back,
         # and f16->f32 casting commutes with the gather)
         gidx = getattr(features, "glyph_idx", None)
+        if isinstance(features, FeatureStream) and (
+                gidx is None or features.glyph_dev is None):
+            # A FeatureStream that lost its device indices (e.g. through
+            # a numpy transform — __array_finalize__ drops them) has
+            # all-zero glyph columns: the non-lazy fallback would decode
+            # garbage silently. Fail loudly instead.
+            raise ValueError(
+                "FeatureStream lost its glyph_idx/glyph_dev (was it "
+                "copied/sliced/transformed?); its glyph-feature columns "
+                "are zeros, so decoding it would produce garbage. Pass "
+                "the original stream from build_feature_stream, or "
+                "materialize features on the host first.")
         lazy = gidx is not None and self._make_decode_fn is not None
         pending = []
         for s_len, idxs in sorted(groups.items()):

@@ -364,3 +364,59 @@ def test_decode_len_buckets(tiny_pipeline):
     assert texts_b[0] == texts_default[0]
     assert texts_b[3] == texts_default[3]
     assert 8 in tiny_pipeline._decode_cache
+
+
+def test_ruby_expansion_oracle():
+    """_ruby_expansion (shared by split_windows and decode bucket
+    sizing) matches an independently written oracle of the reference
+    budget (`/root/reference/process_ocr_base.py:186-203`) on
+    adversarial ruby streams: nested-looking groups, groups cut at the
+    range edge, ruby glyphs outside any group."""
+    from findtextcenternet_tpu.const import ENCODER_DIM
+
+    def oracle(f, i0, i1):
+        extra = 0
+        in_group = 0   # 0 outside, 1 opened, 2 saw base
+        for k in range(i0, i1):
+            if f[k, -3] > 0:
+                extra += 1
+            if in_group == 0 and f[k, -5] > 0:
+                extra += 3
+                in_group = 1
+            elif in_group == 1 and f[k, -4] > 0:
+                in_group = 2
+            elif in_group == 2 and f[k, -4] == 0:
+                in_group = 0
+        return extra
+
+    rng = np.random.default_rng(11)
+    for trial in range(50):
+        n = int(rng.integers(1, 40))
+        f = np.zeros((n, ENCODER_DIM), np.float32)
+        # cols: -5 rubybase, -4 ruby, -3 also ruby marker in stream
+        f[:, -5] = (rng.random(n) < 0.3) * 5
+        f[:, -4] = (rng.random(n) < 0.3) * 5
+        f[:, -3] = (rng.random(n) < 0.3) * 5
+        i0 = int(rng.integers(0, n))
+        i1 = int(rng.integers(i0, n + 1))
+        assert OCRPipeline._ruby_expansion(f, i0, i1) == oracle(f, i0, i1)
+
+
+def test_feature_stream_guard_raises_on_lost_indices(tiny_pipeline):
+    """A FeatureStream that went through a numpy transform loses its
+    device indices (__array_finalize__ drops them); decode_windows must
+    refuse it instead of silently decoding the zero glyph columns."""
+    from findtextcenternet_tpu.infer.pipeline import FeatureStream
+
+    enc_len = tiny_pipeline.transformer.dims.max_enc_seq_len
+    enc_dim = tiny_pipeline.transformer.dims.enc_input_dim
+    base = np.zeros((enc_len - 2, enc_dim), np.float32)
+    stream = base.view(FeatureStream)   # glyph_idx/glyph_dev stay None
+    windows = [(0, 0, base.shape[0], 0)]
+    with pytest.raises(ValueError, match="glyph_idx"):
+        tiny_pipeline.decode_windows(stream, windows)
+    # a copy of a populated stream also drops the attrs
+    stream2 = base.view(FeatureStream)
+    stream2.glyph_idx = np.zeros(base.shape[0], np.int64)
+    copied = stream2.copy()
+    assert getattr(copied, "glyph_idx", None) is None
