@@ -1,20 +1,26 @@
 """Benchmark: end-to-end OCR throughput on the flagship (xl) model.
 
-Measures the full pipeline at realistic page load — the EfficientNetV2-XL
-CenterNet detector over 768x768 tiles with fused on-device peak
-extraction (bf16, batched), the host stages (contrast filter + IoU dedup,
-native line engine, feature-stream assembly, windowing) under ~1.5k boxes
-per page, and the batched 400-token mask-predict transformer decode —
-and reports effective 768^2-tiles/sec/chip end-to-end. Prints ONE JSON
-line: {"metric", "value", "unit", "vs_baseline", ...per-stage extras}.
+The headline ``value`` is a MEASURED multi-page ``ocr_pages`` wall-clock
+(stage G): the full pipeline — real EfficientNetV2-XL detector over the
+page's 768x768 tiles (bf16, batched, fused on-device peak extraction),
+host stages (contrast filter + IoU dedup, native line engine,
+feature-stream assembly, windowing), batched 400-token mask-predict
+decode — run over N pages with 2 worker threads, timed as one wall-clock.
+Because published trained weights are unreachable from this box, the
+random-weight detector's boxes are swapped for a realistic synthetic
+detection set via ``OCRPipeline.detections_hook`` right after the (fully
+paid) detector pass, so the downstream load sits at trained-weight
+statistics (~1.5k boxes, ~4 decode windows/page) instead of the
+untrained pathology (hundreds of near-empty windows). The per-stage
+composition of rounds 1-4 rides along as ``composed_tiles_per_sec`` and
+must agree with the measured number within ~15%
+(``measured_vs_composed``).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+...per-stage extras}.
 
 Baseline: the driver-set north star of >= 25 tiles/sec/chip end-to-end
 (`BASELINE.json`); vs_baseline = value / 25.
-
-Trained weights are not reachable from this box, so the detector runs
-with random weights for timing and the host stages run on
-factory-layout-like synthetic detections (uniform text grid + duplicate
-candidates), keeping every stage at production load and shape.
 
 Measurement notes: on the 'axon' remote-TPU platform dispatch is fully
 async and ``block_until_ready`` does not wait for remote completion, so
@@ -187,16 +193,19 @@ def main():
             # rides along (clearly labeled, value stays 0.0) so a
             # link-down round still points at real dated numbers.
             last_good = {}
-            cap = os.path.join(os.path.dirname(__file__) or ".",
-                               "docs", "bench_r4_inround.json")
-            try:
-                with open(cap) as f:
-                    for ln in f:
-                        if ln.startswith("{"):
-                            last_good = json.loads(ln)
-                            break
-            except Exception:
-                pass
+            for name in ("bench_r5_inround.json", "bench_r4_inround.json"):
+                cap = os.path.join(os.path.dirname(__file__) or ".",
+                                   "docs", name)
+                try:
+                    with open(cap) as f:
+                        for ln in f:
+                            if ln.startswith("{"):
+                                last_good = json.loads(ln)
+                                break
+                    if last_good:
+                        break
+                except Exception:
+                    continue
             print(json.dumps({
                 "metric": "ocr_e2e_768px_tiles_per_sec_per_chip",
                 "value": 0.0,
@@ -206,7 +215,7 @@ def main():
                 "note": "axon tunnel unreachable for the whole probe "
                         "budget; last_good_capture is the most recent "
                         "healthy-tunnel measurement (docs/"
-                        "bench_r4_inround.json, dated in docs)",
+                        "bench_r*_inround.json, dated in docs)",
                 **({"last_good_capture": last_good} if last_good else {}),
             }))
             return
@@ -368,8 +377,15 @@ def main():
         rms = float(np.sqrt(np.mean(hfn_ ** 2))) or 1.0
         int8_stats = {
             "int8_detector_tiles_per_sec": round(b8 * ITERS / int8_dt, 3),
-            "int8_heatmap_rel_delta": round(
+            # labeled: this delta is measured on RANDOM weights (the
+            # only weights reachable here) and overstates the deployed
+            # error. The meaningful accuracy gate runs on factory-
+            # TRAINED weights: 3.2% RMS heatmap delta, decoded text
+            # identical (tests/test_int8_trained.py, docs/PERFORMANCE.md)
+            "int8_heatmap_rel_delta_random_weights": round(
                 float(np.max(np.abs(hqn - hfn_))) / rms, 4),
+            "int8_trained_gate":
+                "3.2% RMS, text-identical (tests/test_int8_trained.py)",
         }
 
     # ---- stage E: decode-heavy page mix (dense text) --------------------
@@ -484,6 +500,56 @@ def main():
             ocr_pages(pipeb, [img] * npages, workers=2)
             e2e_stats["e2e_bucketed_tiles_per_sec"] = round(
                 n_tiles * npages / (time.perf_counter() - t0), 3)
+        if os.environ.get("BENCH_E2E_GUARDED", "1") != "0":
+            # the windows-per-page guard (max_windows_per_page) bounds
+            # the pathological case: the degenerate stream re-splits on
+            # the length budget alone, so the garbage page pays ~7
+            # full windows instead of ~520 near-empty ones
+            cfgg = dataclasses.replace(
+                pipe.cfg, inference=dataclasses.replace(
+                    pipe.cfg.inference, max_windows_per_page=16))
+            pipeg = OCRPipeline(
+                cfgg, detector_variables=pipe.det_vars,
+                transformer_variables=pipe.tf_vars,
+                model_size=pipe.detector.model_size)
+            ocr_pages(pipeg, [img], workers=1)
+            t0 = time.perf_counter()
+            ocr_pages(pipeg, [img] * npages, workers=2)
+            e2e_stats["e2e_guarded_tiles_per_sec"] = round(
+                n_tiles * npages / (time.perf_counter() - t0), 3)
+
+    # ---- stage G: the MEASURED headline ---------------------------------
+    # one genuinely measured multi-page ocr_pages wall-clock at
+    # trained-weight detection statistics: the real detector pass runs
+    # in full on the device (every upload, dispatch, readback paid),
+    # then detections_hook swaps in the realistic synthetic detection
+    # set (the same ~1.5k-box/4-window load stages B-C time), so the
+    # line engine, stream build, 400-token decode and assembly all run
+    # per page inside the clock. This replaces the stage composition as
+    # `value` (VERDICT r4 item 1); the composition rides along as the
+    # cross-check.
+    measured_stats = {}
+    measured = None
+    if os.environ.get("BENCH_MEASURED", "1") != "0":
+        from findtextcenternet_tpu.infer.pipeline import ocr_pages
+
+        npages_m = int(os.environ.get("BENCH_MEASURED_PAGES", "8"))
+        realistic = DetectedPage(locations=locs, features=feats,
+                                 lines=lines, seps=seps)
+        pipe.detections_hook = lambda page, image: realistic
+        try:
+            ocr_pages(pipe, [img] * 2, workers=2)   # warm all graphs
+            t0 = time.perf_counter()
+            out_m = ocr_pages(pipe, [img] * npages_m, workers=2)
+            m_dt = time.perf_counter() - t0
+        finally:
+            pipe.detections_hook = None
+        measured = n_tiles * npages_m / m_dt
+        measured_stats = {
+            "measured_pages": npages_m,
+            "measured_page_ms": round(m_dt / npages_m * 1e3, 1),
+            "measured_out_chars": len(out_m[0].get("text", "")),
+        }
 
     # effective end-to-end throughput for this page. Serial = every stage
     # in sequence; pipelined = ocr_pages' steady state, where host stages
@@ -493,12 +559,18 @@ def main():
     host_total = filter_dt + line_dt + host_dt + asm_dt
     serial = n_tiles / (device_dt + host_total)
     pipelined = n_tiles / max(device_dt, host_total)
+    headline = measured if measured is not None else pipelined
 
     print(json.dumps({
         "metric": "ocr_e2e_768px_tiles_per_sec_per_chip",
-        "value": round(pipelined, 3),
+        "value": round(headline, 3),
         "unit": "tiles/s",
-        "vs_baseline": round(pipelined / BASELINE_TILES_PER_SEC, 3),
+        "vs_baseline": round(headline / BASELINE_TILES_PER_SEC, 3),
+        "value_is_measured_wallclock": measured is not None,
+        **measured_stats,
+        "composed_tiles_per_sec": round(pipelined, 3),
+        **({"measured_vs_composed": round(measured / pipelined, 3)}
+           if measured is not None else {}),
         "serial_tiles_per_sec": round(serial, 3),
         "detector_tiles_per_sec": round(det_tiles_per_sec, 3),
         **({"detector_page_ms": round(det_page_dt * 1e3, 1),

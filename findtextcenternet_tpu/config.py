@@ -128,6 +128,21 @@ class InferenceConfig:
     # is not bit-identical (near-tie argmax flips are possible; same
     # failure class as the demoted fused-attention decode lever).
     decode_len_buckets: Tuple[int, ...] = ()
+    # opt-in (0 = off, the exact-parity default) bound on decode windows
+    # per page. The reference's window splitter cuts at every direction
+    # change / paragraph break / ruby boundary with NO count bound
+    # (/root/reference/process_ocr_base.py:186-283), so a garbage or
+    # adversarial page — or an untrained detector — can shred a page
+    # into hundreds of near-empty windows, each paying a full decode
+    # graph: unbounded tail latency in production serving. With
+    # max_windows_per_page = N, a page whose normal split exceeds N is
+    # re-split on the length budget alone (direction/ruby cut rules
+    # dropped — the page is degenerate by construction, so the windows'
+    # semantic hygiene no longer matters), bounding windows at
+    # ceil(stream/budget); anything still beyond N is truncated. Real
+    # pages at trained statistics split into ~4 windows and never hit
+    # the guard.
+    max_windows_per_page: int = 0
     # page maps (line/seps/codes) ship device->host as uint8 (4x less
     # transfer; 1/255 resolution sits far below every downstream
     # threshold on real detector output). False ships f32 — used by the

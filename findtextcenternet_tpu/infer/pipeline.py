@@ -1370,7 +1370,8 @@ class OCRPipeline:
 
     @staticmethod
     def split_windows(features: np.ndarray,
-                      max_enc_len: int = MAX_ENCODER_LEN
+                      max_enc_len: int = MAX_ENCODER_LEN,
+                      max_windows: int = 0
                       ) -> List[Tuple[int, int, int, int]]:
         """Window boundaries (prev_j, cur_i, cur_j, keep_back).
 
@@ -1378,6 +1379,11 @@ class OCRPipeline:
         (`/root/reference/process_ocr_base.py:186-283`): estimated decode
         length budget, direction change, double newline, ruby-group
         boundary; overlap re-feed with keep_back dedup.
+
+        ``max_windows`` (0 = unbounded, exact reference behavior) bounds
+        worst-case decode load: if the normal split exceeds it, the
+        stream is re-split on the length budget alone — see
+        ``InferenceConfig.max_windows_per_page``.
         """
         out = []
         n = features.shape[0]
@@ -1434,6 +1440,20 @@ class OCRPipeline:
             else:
                 keep_back = 0
                 cur_i = cur_j
+        if max_windows > 0 and len(out) > max_windows:
+            # degenerate stream (garbage page / untrained detector):
+            # re-split on the length budget only — contiguous coverage,
+            # no overlap — so window count is ~stream/budget instead of
+            # one per spurious direction flip; hard-truncate beyond the
+            # cap so device time per page is strictly bounded
+            out = []
+            i = 0
+            while i < n and len(out) < max_windows:
+                r = OCRPipeline._ruby_expansion(
+                    features, i, min(i + max_enc_len - 3, n))
+                j = min(n, max(i + 1, i + (max_enc_len - 3 - r)))
+                out.append((i, i, j, 0))
+                i = j
         return out
 
     def decode_windows(self, features: np.ndarray,
@@ -1654,6 +1674,18 @@ class OCRPipeline:
 
     # ------------------------------------------------------------------
 
+    # measurement/debug hook: when set to a callable
+    # ``hook(page: DetectedPage, image) -> DetectedPage``, it runs right
+    # after run_detector in __call__ and may replace the detections the
+    # downstream stages consume. bench.py uses it to measure the full
+    # ocr_pages wall-clock with the REAL device detector cost but
+    # trained-weight detection statistics (published weights are not
+    # reachable from this box; an untrained detector shreds pages into
+    # hundreds of degenerate decode windows, which measures a
+    # pathological load, not the production one). Not a serving feature;
+    # None (default) is a no-op.
+    detections_hook = None
+
     def __call__(self, image: np.ndarray, resize: float = 1.0,
                  twopass: bool = False) -> Dict:
         """Full OCR of an RGB uint8 page image."""
@@ -1665,6 +1697,8 @@ class OCRPipeline:
                              PILImage.Resampling.BILINEAR)
             image = np.asarray(pim)
         page = self.run_detector(image, twopass=twopass)
+        if self.detections_hook is not None:
+            page = self.detections_hook(page, image)
         if len(page.locations) == 0:
             return {"box": [], "line": [], "block": [], "text": "",
                     "aozora": "", "noruby": ""}
@@ -1672,7 +1706,8 @@ class OCRPipeline:
         features, feature_idx = self.build_feature_stream(
             detected, page.features)
         windows = self.split_windows(
-            features, self.transformer.dims.max_enc_seq_len)
+            features, self.transformer.dims.max_enc_seq_len,
+            self.cfg.inference.max_windows_per_page)
         texts = self.decode_windows(features, windows)
         return self.assemble(page.locations, feature_idx, windows, texts,
                              resize)

@@ -420,3 +420,83 @@ def test_feature_stream_guard_raises_on_lost_indices(tiny_pipeline):
     stream2.glyph_idx = np.zeros(base.shape[0], np.int64)
     copied = stream2.copy()
     assert getattr(copied, "glyph_idx", None) is None
+
+
+def test_max_windows_guard_bounds_degenerate_stream():
+    """A stream whose direction column flips every row is the worst case
+    the reference splitter allows: one window per flip, unbounded decode
+    work (`/root/reference/process_ocr_base.py:186-283` has no count
+    bound). With max_windows, the re-split is budget-only: contiguous
+    coverage, ~n/budget windows, hard cap respected."""
+    from findtextcenternet_tpu.const import ENCODER_DIM
+
+    n = 600
+    feats = np.zeros((n, ENCODER_DIM), np.float32)
+    feats[:, 0] = 1.0
+    feats[1::2, -6] = 5.0        # direction flips every row
+
+    unbounded = OCRPipeline.split_windows(feats, 400)
+    assert len(unbounded) >= n // 2          # degenerate: ~1 window/flip
+
+    guarded = OCRPipeline.split_windows(feats, 400, max_windows=16)
+    assert 1 <= len(guarded) <= 16
+    # contiguous, non-overlapping coverage of the whole stream
+    assert guarded[0][1] == 0
+    for (p0, i0, j0, kb0), (p1, i1, j1, kb1) in zip(guarded, guarded[1:]):
+        assert i1 == j0 and p1 == i1 and kb1 == 0
+    assert guarded[-1][2] == n
+
+    # a healthy stream under the cap is untouched
+    feats2 = np.zeros((50, ENCODER_DIM), np.float32)
+    feats2[:, 0] = 1.0
+    assert (OCRPipeline.split_windows(feats2, 400, max_windows=16)
+            == OCRPipeline.split_windows(feats2, 400))
+
+
+def test_max_windows_guard_truncates_past_cap():
+    """Streams longer than cap*budget are hard-truncated: bounded device
+    time on garbage input is the whole point of the guard."""
+    from findtextcenternet_tpu.const import ENCODER_DIM
+
+    n = 2000
+    feats = np.zeros((n, ENCODER_DIM), np.float32)
+    feats[:, 0] = 1.0
+    feats[1::2, -6] = 5.0
+    guarded = OCRPipeline.split_windows(feats, 100, max_windows=4)
+    assert len(guarded) == 4
+    assert guarded[-1][2] < n    # truncated, not covering everything
+
+
+def test_detections_hook_replaces_page(tiny_pipeline):
+    """detections_hook swaps the detector output before the downstream
+    stages — the bench measurement hook. The injected page's boxes must
+    drive the final assembly."""
+    from findtextcenternet_tpu.infer.pipeline import DetectedPage
+
+    img = np.full((300, 500, 3), 255, np.uint8)
+    img[100:140, 60:100] = 0
+
+    calls = []
+
+    mh, mw = 300 // 4 + 10, 500 // 4 + 10
+    lines = np.zeros((mh, mw), np.float32)
+    lines[25:35, 10:160] = 1.0
+    fdim = tiny_pipeline.cfg.detector.feature_dim
+    locs = np.array([[0.9, 120, 120, 30, 30, 0, 0, 0, 0],
+                     [0.9, 200, 120, 30, 30, 0, 0, 0, 0]], np.float32)
+    feats = np.ones((2, fdim), np.float32)
+
+    def hook(page, image):
+        calls.append(len(page.locations))
+        return DetectedPage(locations=locs, features=feats,
+                            lines=lines, seps=np.zeros_like(lines))
+
+    tiny_pipeline.detections_hook = hook
+    try:
+        out = tiny_pipeline(img)
+    finally:
+        tiny_pipeline.detections_hook = None
+    assert calls, "hook was not invoked"
+    # every surviving box in the output is one of the injected ones
+    for b in out["box"]:
+        assert float(b["cx"]) in (120.0, 200.0)
