@@ -194,6 +194,10 @@ class TrainConfig:
     # mesh
     data_axis: int = -1          # -1: all devices on data axis
     model_axis: int = 1
+    # ZeRO-1: shard otherwise-replicated optimizer-state leaves over the
+    # data axis (parallel.state_shardings). Required to fit the xl
+    # detector flagship step at 8 devices (AOT: 16.28 -> under-HBM).
+    zero1: bool = False
 
 
 @dataclass(frozen=True)

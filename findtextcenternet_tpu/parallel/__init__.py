@@ -5,5 +5,6 @@ from .mesh import (  # noqa: F401
     replicate,
     shard_batch,
     shard_params,
+    state_shardings,
     tree_pspecs,
 )

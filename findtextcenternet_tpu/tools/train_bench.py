@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -77,37 +78,44 @@ def _v5e_sharding():
 
 
 def _v5e_mesh(spec: str):
-    """A ('data','model') mesh over the 4-chip v5e:2x2 topology for AOT
-    GSPMD compiles at flagship scale (VERDICT r4 item: prove the
+    """A ('data','model') mesh over a v5e topology for AOT GSPMD
+    compiles at flagship scale (VERDICT r4 item: prove the
     sharded-memory fit and collective layout of the xl/production train
     steps without multi-chip hardware). ``spec`` is "DATAxMODEL", e.g.
-    "4x1" (pure DP) or "2x2" (DP+TP)."""
+    "8x1" (pure DP) or "4x2" (DP+TP); the smallest v5e slice that holds
+    DATA*MODEL chips is compiled for (2x2=4, 2x4=8, 4x4=16)."""
     import numpy as _np
 
     os.environ.setdefault("ALLOW_MULTIPLE_LIBTPU_LOAD", "true")
     from jax.experimental import topologies
     from jax.sharding import Mesh
     d, m = (int(v) for v in spec.lower().split("x"))
-    topo = topologies.get_topology_desc("v5e:2x2", "tpu")
-    assert d * m <= len(topo.devices), (spec, len(topo.devices))
+    topo = None
+    for tspec, n in (("v5e:2x2", 4), ("v5e:2x4", 8), ("v5e:4x4", 16)):
+        if d * m <= n:
+            topo = topologies.get_topology_desc(tspec, "tpu")
+            break
+    assert topo is not None and d * m <= len(topo.devices), \
+        (spec, topo and len(topo.devices))
     arr = _np.array(topo.devices[: d * m]).reshape(d, m)
     return Mesh(arr, ("data", "model"))
 
 
-def _aot_state_and_batch(state_shapes, batch_shapes, mesh):
+def _aot_state_and_batch(state_shapes, batch_shapes, mesh, zero1=False):
     """Abstract (ShapeDtypeStruct) train state + batch with flagship
     shardings: params/opt-state by the TP path rules (replicated where
-    they don't match / don't divide), batch split over 'data'."""
+    they don't match / don't divide), batch split over 'data'.
+    ``zero1`` shards otherwise-replicated optimizer-state leaves over
+    'data' (see :func:`..parallel.state_shardings`)."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..parallel import leaf_sharding, tree_pspecs
+    from ..parallel import state_shardings
 
-    specs = tree_pspecs(state_shapes)
+    shardings = state_shardings(state_shapes, mesh, zero1=zero1)
     state = jax.tree_util.tree_map(
-        lambda x, s: jax.ShapeDtypeStruct(
-            x.shape, x.dtype, sharding=leaf_sharding(mesh, s, x)),
-        state_shapes, specs)
+        lambda x, sh: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh),
+        state_shapes, shardings)
     dsh = NamedSharding(mesh, P("data"))
     batch = {
         k: jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=dsh)
@@ -168,11 +176,21 @@ def _bench_transformer(args):
         model, state = build_transformer_state(cfg, mesh=None, seed=0)
         batch = {k: jax.device_put(v) for k, v in batch_np.items()}
 
-    step = jax.jit(lambda s, b: transformer_train_step(s, b))
+    # --accum's default (4) is the detector bench's; the transformer
+    # step historically ran accum-less here, so only honor --accum when
+    # it evenly divides the batch AND was explicitly requested
+    accum = max(1, int(getattr(args, "accum_explicit", 0) or 1))
+    if args.batch % accum != 0:
+        accum = 1
+    step = jax.jit(lambda s, b: transformer_train_step(
+        s, b, accum_steps=accum))
     t0 = time.perf_counter()
     compiled = step.lower(state, batch).compile()
     compile_s = time.perf_counter() - t0
     flops = _total_flops(compiled)
+    # cost analysis counts the accumulation scan body once
+    if accum > 1 and flops:
+        flops *= accum
 
     if args.dry:
         mem = {}
@@ -190,6 +208,7 @@ def _bench_transformer(args):
         print(json.dumps({
             "metric": "transformer_train_dry_compile",
             "batch": args.batch, "attn_impl": args.attn_impl,
+            "accum": accum,
             "aot": args.aot,
             **({"aot_mesh": args.aot_mesh} if args.aot_mesh else {}),
             "compile_s": round(compile_s, 1),
@@ -215,6 +234,7 @@ def _bench_transformer(args):
         "unit": "windows/s",
         "batch": args.batch,
         "attn_impl": args.attn_impl,
+        "accum": accum,
         "step_ms": round(dt * 1e3, 1),
         "compile_s": round(compile_s, 1),
         "scheduled_tflops_per_step": round(flops / 1e12, 2)
@@ -269,6 +289,10 @@ def main(argv=None):
                          "GSPMD sharding evidence without hardware; "
                          "memory figures are per device")
     args = ap.parse_args(argv)
+    argv_list = list(argv) if argv is not None else list(sys.argv[1:])
+    args.accum_explicit = (args.accum if any(
+        a == "--accum" or a.startswith("--accum=") for a in argv_list)
+        else 0)
 
     import jax
 

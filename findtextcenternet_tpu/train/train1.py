@@ -38,9 +38,9 @@ def build_detector_state(config, mesh=None, seed: int = 0):
         weight_decay=config.train.weight_decay)
     state = create_train_state(model.apply, variables, tx, num_cov_losses=9)
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, NamedSharding(mesh, P())), state)
+        from ..parallel import state_shardings
+        sh = state_shardings(state, mesh, zero1=config.train.zero1)
+        state = jax.tree_util.tree_map(jax.device_put, state, sh)
     return model, state
 
 

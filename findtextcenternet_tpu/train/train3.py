@@ -43,13 +43,18 @@ def build_transformer_state(config, mesh=None, seed: int = 0,
             variables = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, NamedSharding(mesh, P())),
                 variables)
-    return model, create_train_state(model.apply, variables, tx)
+    state = create_train_state(model.apply, variables, tx)
+    if mesh is not None and config.train.zero1:
+        from ..parallel import state_shardings
+        sh = state_shardings(state, mesh, zero1=True)
+        state = jax.tree_util.tree_map(jax.device_put, state, sh)
+    return model, state
 
 
 def train(features_npz=None, text_files=(), config=None,
           steps_per_epoch: int = 1000, val_steps: int = 20,
           resume: bool = True, synthetic_bank: bool = False, mesh=None,
-          realdata_dir=None):
+          realdata_dir=None, train_noise_ratio: float = 1.0, bank=None):
     import jax
     import numpy as np
 
@@ -75,7 +80,9 @@ def train(features_npz=None, text_files=(), config=None,
             state = ckpt.restore_checkpoint(latest, state)
             print(f"resumed from {latest} at step {int(state.step)}")
 
-    if synthetic_bank or not features_npz:
+    if bank is not None:
+        pass                      # caller-supplied FeatureBank
+    elif synthetic_bank or not features_npz:
         bank = FeatureBank.synthetic(
             list(range(0x3041, 0x3097)) + list(range(0x4E00, 0x4F00)),
             seed=tc.seed)
@@ -90,8 +97,12 @@ def train(features_npz=None, text_files=(), config=None,
     if real:
         print(f"realdata: {len(real)} corrected pages from "
               f"{realdata_dir} (x100 replay weight)")
+    # reference curriculum starts at noise 1.0 (`train3.py:153-156`);
+    # synthetic-bank gates (trained_margin_check) start lower — random
+    # text has no LM prior, so val loss never crosses the 2.0 curriculum
+    # trigger under full noise and training stalls
     train_ds = TransformerDataset(bank, text_files, real_data=real,
-                                  noise_ratio=1.0,
+                                  noise_ratio=train_noise_ratio,
                                   seed=tc.seed, enc_len=enc_len,
                                   dec_len=dec_len)
     val_ds = TransformerDataset(bank, text_files, noise_ratio=0.0,

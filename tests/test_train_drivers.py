@@ -138,3 +138,65 @@ def test_train2_init_from_stage1_checkpoint(tmp_path, shards):
                    num_workers=1, mesh=mesh, decoder_only=False,
                    init_from=stage1_dir)
     assert int(state.step) == 1
+
+
+@pytest.mark.slow
+def test_zero1_opt_state_sharding_equivalence(tmp_path):
+    """ZeRO-1 (`TrainConfig.zero1`): sharding the schedule-free z copy
+    and Adam/RAdam second moment over the 'data' axis must be a pure
+    layout change — the optimizer trajectory is bit-compatible with the
+    replicated run. GSPMD turns the update into reduce-scatter(grads)
+    -> sharded update -> all-gather(params); numerics are unchanged
+    because every elementwise update reads the same values.
+
+    This is the functional gate behind the flagship AOT evidence
+    (`test_tpu_aot_compile.py::test_xl_detector_dp_train_step_mesh_aot`):
+    replicated xl state reads 16.28 GB/device at 8 chips (> v5e HBM),
+    ZeRO-1 fits. Reference anchor: the reference is single-GPU
+    (`/root/reference/train3.py`); this layout is new TPU-first design.
+    """
+    import jax
+    import jax.numpy as jnp
+    from findtextcenternet_tpu.parallel import make_mesh
+    from findtextcenternet_tpu.train.steps import transformer_train_step
+    from findtextcenternet_tpu.train.train3 import build_transformer_state
+
+    cfg = _tiny_cfg(tmp_path, "zero1")
+    mesh = make_mesh(n_data=8, n_model=1)
+
+    rng = np.random.default_rng(0)
+    t = cfg.transformer
+    batch = {
+        "encoder_input": rng.normal(0, 1, (8, t.max_enc_seq_len, 106)
+                                    ).astype(np.float32),
+        "decoder_input": rng.integers(0, 9, (8, t.max_dec_seq_len)
+                                      ).astype(np.int32),
+        "decoder_true": rng.integers(0, 9, (8, t.max_dec_seq_len)
+                                     ).astype(np.int32),
+    }
+
+    def run(zero1):
+        c = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, zero1=zero1))
+        _, state = build_transformer_state(c, mesh=mesh, seed=0)
+        if zero1:
+            z = state.opt_state.z
+            leaves = jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(lambda x: x.sharding.spec, z),
+                is_leaf=lambda s: True)
+            assert any(any(s) for s in leaves), "no z leaf sharded"
+        step = jax.jit(lambda s, b: transformer_train_step(s, b))
+        from findtextcenternet_tpu.parallel import shard_batch
+        b = shard_batch(batch, mesh)
+        for _ in range(2):
+            state, metrics = step(state, b)
+        return state.eval_params(), metrics
+
+    p_rep, m_rep = run(zero1=False)
+    p_z1, m_z1 = run(zero1=True)
+    assert np.allclose(float(m_rep["loss"]), float(m_z1["loss"]),
+                       rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-5, atol=2e-6), p_rep, p_z1)
