@@ -111,10 +111,20 @@ def _per_device_mem_gb(compiled):
 def test_xl_detector_dp_train_step_mesh_aot(v5e_sharding):
     """Flagship evidence (VERDICT r4 item 4): the **xl** detector train
     step at the production 768x768 / batch-32 shapes (train1 flagship
-    invocation, `train/train1.py:11`) compiles under GSPMD over a
-    4-device ('data','model') v5e mesh — pure DP, batch split 8/chip —
-    and the per-device memory fits v5e HBM. Prints the sharded memory
-    figures for the record."""
+    invocation, `train/train1.py:11`) compiles under GSPMD over an
+    **8-device** ('data','model') v5e:2x4 mesh — pure DP, batch split
+    4/chip, **ZeRO-1 optimizer-state sharding** — and the per-device
+    memory fits v5e HBM.
+
+    ZeRO-1 is load-bearing here, found by this very compile: with the
+    schedule-free state fully replicated the step reads **16.28
+    GB/device** (args 3.0 + outs 3.0 + temps 10.3 — the z copy and the
+    Adam second moment are two extra full param trees) > 15.75 v5e HBM.
+    `TrainConfig.zero1` shards those copies over 'data'
+    (`parallel.state_shardings`); GSPMD then reduce-scatters the grads
+    into a sharded update and all-gathers fresh params. r5 capture:
+    args 1.37 + outs 1.34 + temps 12.71 = **15.43 GB/device** — fits
+    (tight; `--accum` buys further headroom if a runtime needs it)."""
     import dataclasses as dc  # noqa: F401
 
     from findtextcenternet_tpu.config import Config, DetectorConfig
@@ -125,18 +135,20 @@ def test_xl_detector_dp_train_step_mesh_aot(v5e_sharding):
 
     cfg = Config(detector=DetectorConfig(
         model_size="xl", remat=True, image_size=(768, 768)))
-    mesh = _v5e_mesh("4x1")
+    mesh = _v5e_mesh("8x1")
     state = jax.eval_shape(
         lambda _: build_detector_state(cfg, mesh=None, seed=0)[1], 0)
     batch_np = fake_batch(np.random.default_rng(0), 32, 768, 768)
-    state, batch = _aot_state_and_batch(state, batch_np, mesh)
+    state, batch = _aot_state_and_batch(state, batch_np, mesh, zero1=True)
 
+    out_sh = (jax.tree_util.tree_map(lambda x: x.sharding, state), None)
     step = jax.jit(lambda s, b: detector_train_step(
-        s, b, fmask_k=cfg.detector.fmask_topk_per_sample))
+        s, b, fmask_k=cfg.detector.fmask_topk_per_sample),
+        out_shardings=out_sh)
     compiled = step.lower(state, batch).compile()
 
     mem = _per_device_mem_gb(compiled)
-    print("\nxl detector DP 4x1 @768^2 b32 per-device HBM: "
+    print("\nxl detector DP+ZeRO1 8x1 @768^2 b32 per-device HBM: "
           + ", ".join(f"{k}={v:.2f}" for k, v in mem.items()))
     assert mem["total_gb"] > 0.5           # sane analysis, not a stub
     assert mem["total_gb"] < V5E_HBM_GB, mem
@@ -146,23 +158,24 @@ def test_xl_detector_dp_train_step_mesh_aot(v5e_sharding):
 def test_transformer_dp_tp_train_step_mesh_aot(v5e_sharding):
     """Flagship evidence (VERDICT r4 item 4): train3's transformer step
     at production dims (400/400, batch 256 — `train/train3.py:11`)
-    compiles under GSPMD over a 2x2 ('data','model') v5e mesh — DP+TP,
-    batch split 128/replica, attention heads + FFN sharded over
-    'model' — and the per-device memory fits v5e HBM.
+    compiles under GSPMD over an **8-device** 4x2 ('data','model')
+    v5e:2x4 mesh — DP+TP, batch split 64/replica, attention heads + FFN
+    sharded over 'model' — and the per-device memory fits v5e HBM.
 
     Two levers are load-bearing at this scale, both shipped as train3
-    flags and measured by this same AOT compile:
+    flags and measured by this same AOT compile (figures from the
+    r4 2x2 capture, batch 128/replica):
     - einsum attention:            27.8 GB/device (the (128,6,400,400)
       f32 score temps alone; 1.8x v5e HBM) — OOM
     - `--attn-impl=fused`:         18.5 GB/device (scores stay in VMEM;
       dropout is 0.0, the reference's actual training config, so the
       kernel's zero-dropout training constraint is met) — still OOM
     - + `--accum=2` micro-batches: fits (asserted below); activations
-      scale with the 64-sample micro-batch while the optimizer still
-      sees batch 256 (reference iters_to_accumulate semantics). The
-      accompanying micro_sharding constraint is load-bearing too:
-      without it GSPMD replicates the (accum, B, ...) stack and accum
-      saves nothing (16.7 GB, still OOM — found by this compile)."""
+      scale with the micro-batch while the optimizer still sees batch
+      256 (reference iters_to_accumulate semantics). The accompanying
+      micro_sharding constraint is load-bearing too: without it GSPMD
+      replicates the (accum, B, ...) stack and accum saves nothing
+      (16.7 GB at 2x2, still OOM — found by this compile)."""
     import dataclasses as dc
 
     from findtextcenternet_tpu.config import Config
@@ -176,7 +189,7 @@ def test_transformer_dp_tp_train_step_mesh_aot(v5e_sharding):
     cfg = dc.replace(cfg, transformer=dc.replace(
         cfg.transformer, attn_impl="fused"))
     t = cfg.transformer
-    mesh = _v5e_mesh("2x2")
+    mesh = _v5e_mesh("4x2")
     state = jax.eval_shape(
         lambda _: build_transformer_state(cfg, mesh=None, seed=0)[1], 0)
     rng = np.random.default_rng(0)
