@@ -579,3 +579,78 @@ def test_pipeline_differential_random_bulk(rig, tmp_path, monkeypatch):
     # knife edges must stay rare: widescale drift cannot hide behind
     # the escape hatch
     assert sum(full) >= 0.8 * len(full), (sum(full), len(full))
+
+
+@pytest.mark.slow
+def test_pipeline_differential_xl_decode(rig, tmp_path, monkeypatch):
+    """VERDICT r4 item 8: the composed pipeline at production decode
+    scale.
+
+    The reference's real xl detector cannot be built in this image
+    (torchvision is absent — the same environment block as coremltools),
+    so detection stays on the shared deterministic fake; everything
+    downstream runs with a REAL production-dim transformer, genuinely
+    differential: the reference's torch ``TransformerPredictor`` (embed
+    768, 12 heads, 10+10 blocks, 400-token window, 8-round mask-predict
+    — `/root/reference/models/transformer.py:266-360`) drives the
+    oracle's ``call_transformer``, while :class:`OCRPipeline` decodes
+    with the same weights through the production importer
+    (`io/torch_import.import_transformer`) and the batched jax
+    ``mask_predict``. Tiling -> filter -> line engine -> 106-d windows
+    -> decode -> assembly must agree **char-for-char**.
+
+    Raw-window decode parity at this scale is covered by
+    `test_mask_predict_parity.py::test_mask_predict_matches_reference_full_scale`;
+    this closes the remaining gap (the *composed* pipeline was only
+    checked at tiny scale — r4 VERDICT "what's weak" #5).
+    """
+    ref_base, detect_jit, _, _ = rig
+    torch = pytest.importorskip("torch")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    ref_tf = pytest.importorskip("models.transformer")
+    monkeypatch.setattr(ref_tf, "max_decoderlen", 400, raising=False)
+
+    dims = dict(enc_input_dim=106, embed_dim=768, head_num=12,
+                enc_block_num=10, dec_block_num=10,
+                max_enc_seq_len=400, max_dec_seq_len=400, dropout=0.0)
+    torch.manual_seed(0)
+    tmodel = ref_tf.Transformer(**dims)
+    tmodel.eval()
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            p.mul_(0.25)          # same conditioning as the raw gate
+    predictor = ref_tf.TransformerPredictor(tmodel.encoder,
+                                            tmodel.decoder)
+    predictor.eval()
+
+    def torch_decode(_, enc):
+        enc_np = np.asarray(enc, np.float32)
+        out = []
+        with torch.no_grad():
+            for w in enc_np:
+                out.append(predictor(torch.from_numpy(w[None])).numpy()[0])
+        codes = np.stack(out).astype(np.int32)
+        return codes, np.ones(codes.shape, np.float32)
+
+    from findtextcenternet_tpu.io.torch_import import import_transformer
+    from findtextcenternet_tpu.models import TransformerDims
+
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    tf_vars = import_transformer(sd, TransformerDims(**dims))
+
+    cfg = Config(detector=DetectorConfig(model_size="tiny"))
+    pipe = OCRPipeline(cfg, transformer_variables=tf_vars,
+                       detector_apply=fake_detector_apply)
+
+    page = page_single_tile()
+    img = page.render()
+    oracle = make_oracle(ref_base, detect_jit, torch_decode)
+    ref_out = run_oracle(ref_base, oracle, img, tmp_path, monkeypatch)
+
+    mine = pipe(img)
+    assert mine["text"] == ref_out["text"]
+    assert mine["aozora"] == ref_out["aozora"]
+    assert len(mine["box"]) == len(ref_out["box"])
+    for mb, rb in zip(mine["box"], ref_out["box"]):
+        assert mb["text"] == rb["text"]
