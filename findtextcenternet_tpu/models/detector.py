@@ -261,6 +261,10 @@ class CenterNetDetection(nn.Module):
     remat: bool = False
     fused: bool = False
     dtype: Any = None
+    # Leafmap internal width. 192 is the reference's shape
+    # (`/root/reference/models/detector.py:173`); 256 pads the hot conv
+    # to 2 full MXU tiles — the train-MFU probe knob (PERFORMANCE.md)
+    head_conv_dim: int = 192
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -281,10 +285,12 @@ class CenterNetDetection(nn.Module):
             else Leafmap
         maps = []
         for name, dim in zip(HEAD_NAMES, HEAD_DIMS):
-            maps.append(Head(dim, bn_eps=self.bn_eps_head,
+            maps.append(Head(dim, conv_dim=self.head_conv_dim,
+                             bn_eps=self.bn_eps_head,
                              dtype=self.dtype, name=name)(taps, train))
         heatmap = jnp.concatenate(maps, axis=-1)
-        features = Head(self.feature_dim, bn_eps=self.bn_eps_head,
+        features = Head(self.feature_dim, conv_dim=self.head_conv_dim,
+                        bn_eps=self.bn_eps_head,
                         dtype=self.dtype, name="feature")(taps, train)
         return heatmap, features
 
@@ -456,11 +462,12 @@ class TextDetectorModel(nn.Module):
     decoder_mid_dim: int = 2048
     remat: bool = False
     dtype: Any = None
+    head_conv_dim: int = 192
 
     def setup(self):
         self.detector = CenterNetDetection(
             self.model_size, self.feature_dim, remat=self.remat,
-            dtype=self.dtype)
+            dtype=self.dtype, head_conv_dim=self.head_conv_dim)
         self.decoder = SimpleDecoder(self.decoder_mid_dim, dtype=self.dtype)
 
     def __call__(self, x, fmask_idx, train: bool = False):

@@ -252,6 +252,9 @@ def main(argv=None):
     ap.add_argument("--accum", type=int, default=4,
                     help="on-device micro-batch count (lax.scan)")
     ap.add_argument("--image", type=int, default=768)
+    ap.add_argument("--head-conv-dim", type=int, default=192,
+                    help="Leafmap internal width (256 = the MXU "
+                         "tile-padding MFU probe; PERFORMANCE.md)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--peak-tflops", type=float,
@@ -313,7 +316,8 @@ def main(argv=None):
 
     cfg = Config(detector=DetectorConfig(
         model_size=args.model_size, remat=args.remat,
-        image_size=(args.image, args.image)))
+        image_size=(args.image, args.image),
+        head_conv_dim=args.head_conv_dim))
 
     step = jax.jit(lambda s, b: detector_train_step(
         s, b, fmask_k=cfg.detector.fmask_topk_per_sample,

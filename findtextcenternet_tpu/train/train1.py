@@ -28,6 +28,8 @@ def build_detector_state(config, mesh=None, seed: int = 0):
                               feature_dim=det.feature_dim,
                               decoder_mid_dim=det.decoder_mid_dim,
                               remat=getattr(det, "remat", False),
+                              head_conv_dim=getattr(det, "head_conv_dim",
+                                                    192),
                               dtype=jnp.bfloat16)
     h, w = det.image_size
     img = jnp.zeros((1, h, w, 3), jnp.float32)
