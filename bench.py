@@ -478,6 +478,29 @@ def main():
                     list(dtexts_f) == list(dtexts))
             except Exception as e:   # never sink the bench of record
                 dense_stats["dense_fused_error"] = str(e)[:120]
+        if os.environ.get("BENCH_DECODE_BUCKETED", "1") != "0":
+            # length-bucketed decode at the dense load (VERDICT r4 item
+            # 2): dense windows are near-max-length so most land in the
+            # 400 bucket — this measures that buckets don't tax the
+            # regime they can't help (their win is the mixed/sparse
+            # e2e load, stage E)
+            try:
+                import dataclasses
+                cfgdb = dataclasses.replace(
+                    pipe.cfg, inference=dataclasses.replace(
+                        pipe.cfg.inference,
+                        decode_len_buckets=(64, 128, 256, 400)))
+                pipedb = OCRPipeline(
+                    cfgdb, detector_variables=pipe.det_vars,
+                    transformer_variables=pipe.tf_vars,
+                    model_size=pipe.detector.model_size)
+                pipedb.decode_windows(dstream, dwindows)
+                ddb_dt, _ = best_of(
+                    lambda: pipedb.decode_windows(dstream, dwindows))
+                dense_stats["dense_decode_bucketed_ms"] = round(
+                    ddb_dt * 1e3, 1)
+            except Exception as e:
+                dense_stats["dense_bucketed_error"] = str(e)[:120]
 
     # ---- stage F: measured multi-page steady state -----------------------
     # the genuinely measured pipelined number: ocr_pages over N copies of
