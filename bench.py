@@ -476,6 +476,22 @@ def main():
                 # near-ties flip under the 3.8e-4 lowering delta
                 dense_stats["dense_fused_texts_match_xla"] = bool(
                     list(dtexts_f) == list(dtexts))
+                # the full serving stack: fused attention + bf16 matmuls
+                # (the TPU analog of the reference's fp16 CoreML deploy)
+                cfgf16 = dataclasses.replace(
+                    cfgf, inference=dataclasses.replace(
+                        cfgf.inference, decode_dtype="bfloat16"))
+                pipef16 = OCRPipeline(
+                    cfgf16, detector_variables=pipe.det_vars,
+                    transformer_variables=pipe.tf_vars,
+                    model_size=pipe.detector.model_size)
+                pipef16.decode_windows(dstream, dwindows)
+                df16_dt, _ = best_of(
+                    lambda: pipef16.decode_windows(dstream, dwindows))
+                dense_stats["dense_decode_fused_bf16_ms"] = round(
+                    df16_dt * 1e3, 1)
+                dense_stats["dense_fused_bf16_tiles_per_sec"] = round(
+                    n_tiles / max(det_component + df16_dt, dhost), 3)
             except Exception as e:   # never sink the bench of record
                 dense_stats["dense_fused_error"] = str(e)[:120]
         if os.environ.get("BENCH_DECODE_BUCKETED", "1") != "0":
