@@ -52,9 +52,15 @@ class TransformerConfig:
     max_dec_seq_len: int = const.MAX_DECODER_LEN
     dropout: float = 0.0
     # attention implementation for train3/eval model builds: "xla"
-    # einsum, or "fused" (Pallas single-tile, custom VJP — serves
-    # training only while dropout == 0.0, the reference's actual config)
-    attn_impl: str = "xla"
+    # einsum, "fused" (Pallas single-tile, custom VJP — serves training
+    # only while dropout == 0.0, the reference's actual config), or
+    # "auto" (default): fused on TPU, einsum elsewhere (off-TPU Pallas
+    # runs in interpret mode, far slower than the einsum). Measured on
+    # the v5e at the production train3 step (batch 32, 400/400):
+    # 229.6 ms/step fused vs 322.1 ms xla — 1.40x (docs/PERFORMANCE.md).
+    # Inference decode parity is governed separately by
+    # InferenceConfig.decode_attention (default "xla").
+    attn_impl: str = "auto"
 
 
 @dataclass(frozen=True)

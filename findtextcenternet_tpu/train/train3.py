@@ -29,7 +29,14 @@ def build_transformer_state(config, mesh=None, seed: int = 0,
         head_num=t.head_num, enc_block_num=t.enc_block_num,
         dec_block_num=t.dec_block_num, max_enc_seq_len=t.max_enc_seq_len,
         max_dec_seq_len=t.max_dec_seq_len, dropout=t.dropout)
-    model = Transformer(dims, attn_impl=t.attn_impl)
+    impl = t.attn_impl
+    if impl == "auto":
+        # fused wins the train step on the chip (229.6 vs 322.1 ms at
+        # batch 32 — docs/PERFORMANCE.md); off-TPU the Pallas kernel
+        # would run in interpret mode, so auto keeps the einsum there.
+        # The module itself re-guards on dropout/shape support.
+        impl = "fused" if jax.default_backend() == "tpu" else "xla"
+    model = Transformer(dims, attn_impl=impl)
     enc = jnp.zeros((1, dims.max_enc_seq_len, dims.enc_input_dim))
     dec = jnp.zeros((1, dims.max_dec_seq_len), jnp.int32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(seed), enc, dec)
